@@ -1,0 +1,577 @@
+"""Adaptive MIMO equalisation: training kernels, error functions, filtering.
+
+Parity: qampy/core/equalisation/{equalisation,pythran_equalisation}.py in the
+reference. The reference's hot loop (pythran_equalisation.py:130-173) is a
+strictly sequential per-symbol tap-update recurrence compiled to C++; here it
+exists in two TPU-native forms:
+
+- ``backend="seq"``: an exact ``lax.scan`` over symbols with (taps, mu) carry
+  — bit-comparable semantics to the reference, used for validation and for
+  short trainings (frame sync, pilot sequences).
+- ``backend="block"``: block-LMS — the training sequence is processed in
+  blocks of S symbols with taps frozen within a block; the per-block filter
+  output and the rank-S tap update are both matmuls that run on the MXU.
+  The adaptive-stepsize rule aggregates exactly (the update
+  mu <- mu/(1+mu*e) chains as 1/mu += e over the sign-flip samples of the
+  block). For small mu this converges like sample-LMS but runs orders of
+  magnitude faster on TPU.
+
+The filter application (reference pythran_equalisation.py:37-76, OpenMP
+collapse(2)) is a strided complex convolution built from real
+``lax.conv_general_dilated`` calls (3-multiplication Karatsuba form).
+
+All equaliser methods of the reference registry
+(core/equalisation/equalisation.py:86-99) are implemented, including the
+real-valued and data-aided variants.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qampy_tpu import helpers
+from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+
+#: Decision based equalisation methods (reference core/equalisation/equalisation.py:87)
+DECISION_BASED = ("sbd", "mddma", "dd", "sbd_data", "dd_real", "dd_data_real")
+#: Non-decision based equalisation methods (:90)
+NONDECISION_BASED = ("cma", "cma2", "mcma", "rde", "mrde", "cma_real", "sgncma_real", "sgncma")
+#: Real-valued equalisation methods (:93)
+REAL_VALUED = ("cma_real", "dd_real", "dd_data_real", "sgncma_real")
+#: Data-aided equalisation methods (:96)
+DATA_AIDED = ("dd_data_real", "sbd_data")
+#: All available adaptive equaliser methods (:99)
+TRAINING_FCTS = DECISION_BASED + NONDECISION_BASED
+
+
+# ---------------------------------------------------------------------------
+# per-method training constants (host-side, static)
+# ---------------------------------------------------------------------------
+
+def _cal_Rconstant(M):
+    """CMA radius constant (reference core/equalisation/equalisation.py:271-275)."""
+    syms = cal_symbols_qam(M)
+    syms = syms / np.sqrt(cal_scaling_factor_qam(M))
+    return np.mean(abs(syms) ** 4) / np.mean(abs(syms) ** 2)
+
+
+def _cal_Rconstant_complex(M):
+    """MCMA complex radius constant (reference :277-281)."""
+    syms = cal_symbols_qam(M)
+    syms = syms / np.sqrt(cal_scaling_factor_qam(M))
+    return (np.mean(syms.real ** 4) / np.mean(syms.real ** 2)
+            + 1.j * np.mean(syms.imag ** 4) / np.mean(syms.imag ** 2))
+
+
+def _cal_Rdash(syms):
+    return ((abs(syms.real + syms.imag) + abs(syms.real - syms.imag))
+            * (np.sign(syms.real + syms.imag) + np.sign(syms.real - syms.imag)
+               + 1.j * (np.sign(syms.real + syms.imag) - np.sign(syms.real - syms.imag)))
+            * syms.conj())
+
+
+def _cal_Rsca(M):
+    """SCA radius constant (reference :265-269)."""
+    syms = cal_symbols_qam(M)
+    syms = syms / np.sqrt(cal_scaling_factor_qam(M))
+    Rd = _cal_Rdash(syms)
+    return np.mean((abs(syms.real + syms.imag) + abs(syms.real - syms.imag)) ** 2 * Rd) / (4 * np.mean(Rd))
+
+
+def generate_partition_codes_radius(M):
+    """RDE partition codebook (reference :338-359): [codes, partition boundaries]."""
+    syms = cal_symbols_qam(M)
+    syms = syms / np.sqrt(cal_scaling_factor_qam(M))
+    codes = np.unique(abs(syms) ** 4 / abs(syms) ** 2)
+    parts = codes[:-1] + np.diff(codes) / 2
+    return np.hstack([codes, parts])
+
+
+def generate_partition_codes_complex(M):
+    """MRDE complex partition codebook (reference :311-336)."""
+    syms = cal_symbols_qam(M)
+    syms = syms / np.sqrt(cal_scaling_factor_qam(M))
+    syms_r = np.unique(abs(syms.real) ** 4 / abs(syms.real) ** 2)
+    syms_i = np.unique(abs(syms.imag) ** 4 / abs(syms.imag) ** 2)
+    codes = syms_r + 1.j * syms_i
+    part_r = syms_r[:-1] + np.diff(syms_r) / 2
+    part_i = syms_i[:-1] + np.diff(syms_i) / 2
+    return np.hstack([codes, part_r + 1.j * part_i])
+
+
+def generate_symbols_for_eq(method, M, dtype):
+    """Per-method constants/symbol arrays (reference :101-136)."""
+    if method in ("cma", "cma2", "sgncma"):
+        return np.atleast_2d(_cal_Rconstant(M) + 0j).astype(dtype)
+    if method == "mcma":
+        return np.atleast_2d(_cal_Rconstant_complex(M)).astype(dtype)
+    if method == "rde":
+        return np.atleast_2d(generate_partition_codes_radius(M) + 0j).astype(dtype)
+    if method == "mrde":
+        return np.atleast_2d(generate_partition_codes_complex(M)).astype(dtype)
+    if method in ("sbd", "mddma", "dd"):
+        return np.atleast_2d(cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
+    if method in ("sgncma_real", "cma_real"):
+        return np.repeat([np.atleast_1d(_cal_Rconstant_complex(M).real.astype(dtype))], 2, axis=0)
+    if method == "dd_real":
+        symbols = cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))
+        return np.vstack([symbols.real, symbols.imag]).astype(dtype)
+    if method in DATA_AIDED:
+        raise ValueError("%s is a data-aided method and needs the symbols to be passed" % method)
+    raise ValueError("%s is unknown method" % method)
+
+
+def _init_taps(Ntaps, nmodes, nmodes2, dtype):
+    """Identity centre-tap initialisation (reference :364-373)."""
+    wxy = np.zeros((nmodes, nmodes2, Ntaps), dtype=dtype)
+    for i in range(nmodes):
+        wxy[i, i, Ntaps // 2] = 1
+    return wxy
+
+
+def orthogonalizetaps(wx):
+    """Y-pol taps orthogonal to X-pol to avoid the CMA singularity (reference :284-309)."""
+    return np.conj(np.asarray(wx)[::-1, ::-1])
+
+
+def _convert_sig_to_real(E):
+    """Stack [Re; Im] into a 2*nmodes real signal (reference :253-257)."""
+    E = jnp.asarray(E)
+    return jnp.concatenate([E.real, E.imag], axis=0)
+
+
+def _convert_sig_to_cmplx(E, modes):
+    """Inverse of _convert_sig_to_real (reference :259-260)."""
+    E = jnp.asarray(E)
+    return E[:modes // 2, :] + 1j * E[modes // 2:, :]
+
+
+# ---------------------------------------------------------------------------
+# error functions — vectorised: operate on Xest of any shape
+# ---------------------------------------------------------------------------
+# Parity with reference pythran_equalisation.py:178-231 (complex) and
+# :110-125 (real). ``syms`` is the per-mode symbol/constant row; ``i`` the
+# (traced) training-symbol index used by data-aided methods.
+
+def _partition_value(signal, partitions, codebook):
+    """Radius partition lookup, vectorised (reference pythran_equalisation.py:4-9)."""
+    idx = jnp.sum(signal[..., None] > partitions, axis=-1)
+    return codebook[idx]
+
+
+def _nearest(Xest, syms):
+    """Per-element nearest-symbol decision via the expanded-distance matmul."""
+    from qampy_tpu.core.metrics import decision_idx
+    idx = decision_idx(Xest, syms)
+    return syms[idx]
+
+
+def _make_error_fn(method):
+    """Return err_fn(Xest, syms, i) for a complex-valued method."""
+    if method in ("cma", "sgncma"):
+        # NOTE: the reference dispatch maps "sgncma" to the plain CMA error
+        # (pythran_equalisation.py:133-134); matched deliberately.
+        def fn(Xest, syms, i):
+            d = syms[0].real - helpers.cabssquared(Xest)
+            return d * Xest
+    elif method == "cma2":
+        def fn(Xest, syms, i):
+            return (syms[0] - Xest ** 2) * Xest
+    elif method == "mcma":
+        def fn(Xest, syms, i):
+            dr = syms[0].real - Xest.real ** 2
+            di = syms[0].imag - Xest.imag ** 2
+            return dr * Xest.real + 1j * (di * Xest.imag)
+    elif method == "rde":
+        def fn(Xest, syms, i):
+            codebook, partition = jnp.array_split(syms, 2)
+            sq = helpers.cabssquared(Xest)
+            r = _partition_value(sq, partition.real, codebook.real)
+            return Xest * (r - sq)
+    elif method == "mrde":
+        def fn(Xest, syms, i):
+            codebook, partition = jnp.array_split(syms, 2)
+            sqr = Xest.real ** 2
+            sqi = Xest.imag ** 2
+            rr = _partition_value(sqr, partition.real, codebook.real)
+            ri = _partition_value(sqi, partition.imag, codebook.imag)
+            return (rr - sqr) * Xest.real + 1j * ((ri - sqi) * Xest.imag)
+    elif method == "sbd":
+        def fn(Xest, syms, i):
+            s = _nearest(Xest, syms)
+            return ((s.real - Xest.real) * jnp.abs(s.real)
+                    + 1j * (s.imag - Xest.imag) * jnp.abs(s.imag))
+    elif method == "sbd_data":
+        def fn(Xest, syms, i):
+            s = syms[i]
+            d = s - Xest
+            return d.real * jnp.abs(s.real) + 1j * (d.imag * jnp.abs(s.imag))
+    elif method == "mddma":
+        def fn(Xest, syms, i):
+            s = _nearest(Xest, syms)
+            return ((s.real ** 2 - Xest.real ** 2) * Xest.real
+                    + 1j * (s.imag ** 2 - Xest.imag ** 2) * Xest.imag)
+    elif method == "dd":
+        def fn(Xest, syms, i):
+            return _nearest(Xest, syms) - Xest
+    else:
+        raise ValueError("Unknown method %s" % method)
+    return fn
+
+
+def _make_error_fn_real(method):
+    """Return err_fn(Xest, syms, i) for a real-valued method (reference :110-125)."""
+    if method == "cma":
+        def fn(Xest, syms, i):
+            return (syms[0] - Xest ** 2) * Xest
+    elif method == "sgncma":
+        def fn(Xest, syms, i):
+            return jnp.sign(syms[0] - Xest ** 2) * jnp.sign(Xest)
+    elif method == "dd":
+        def fn(Xest, syms, i):
+            s = _nearest(Xest, syms)
+            return (s - Xest) * jnp.abs(s)
+    elif method == "dd_data":
+        def fn(Xest, syms, i):
+            s = syms[i]
+            return (s - Xest) * jnp.abs(s)
+    else:
+        raise ValueError("Unknown method %s" % method)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# sequential trainer — exact reference recurrence as lax.scan
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive", "real_valued"))
+def train_equaliser_seq(E, TrSyms, Niter, os, mu, wx, symbols, method,
+                        adaptive=False, real_valued=False):
+    """Exact sequential LMS training (reference pythran_equalisation.py:130-173).
+
+    E: (nmodes, L); wx: (nout, nmodes, ntaps); symbols: (nout, Nsym).
+    Returns (err (nout, TrSyms*Niter), wx, mu_per_mode).
+    Every output mode trains independently (vmapped), mirroring the OpenMP
+    parallel-for over modes.
+    """
+    E = jnp.asarray(E)
+    wx = jnp.asarray(wx)
+    symbols = jnp.asarray(symbols)
+    nmodes = E.shape[0]
+    ntaps = wx.shape[-1]
+    errfn = _make_error_fn_real(method) if real_valued else _make_error_fn(method)
+    conj = (lambda x: x) if real_valued else jnp.conj
+    rdtype = E.real.dtype
+    mu0 = jnp.asarray(mu, dtype=rdtype)
+
+    def train_one_mode(w0, syms_row):
+        def step(carry, i):
+            w, mu_c, err_p = carry
+            tr = jnp.mod(i, TrSyms)
+            X = lax.dynamic_slice(E, (0, tr * os), (nmodes, ntaps))
+            Xest = jnp.sum(w * X)
+            err = errfn(Xest, syms_row, tr)
+            w = w + mu_c * err * conj(X)
+            if adaptive:
+                if real_valued:
+                    keep = err * err_p > 0
+                    e2 = err * err
+                else:
+                    keep = (err.real * err_p.real > 0) & (err.imag * err_p.imag > 0)
+                    e2 = err.real ** 2 + err.imag ** 2
+                mu_new = jnp.where(keep, mu_c, mu_c / (1 + mu_c * e2))
+                mu_c = jnp.where(tr > 0, mu_new, mu_c)
+            return (w, mu_c, err), err
+
+        steps = jnp.arange(Niter * TrSyms)
+        (w, mu_f, _), errs = lax.scan(step, (w0, mu0, jnp.zeros((), dtype=E.dtype)), steps)
+        return errs, w, mu_f
+
+    errs, wout, mus = jax.vmap(train_one_mode)(wx, symbols)
+    return errs, wout, mus
+
+
+# ---------------------------------------------------------------------------
+# block trainer — block-LMS on the MXU
+# ---------------------------------------------------------------------------
+
+def _gather_windows(Eb, S, os, ntaps):
+    """(nmodes, S*os+ntaps-1) -> (S, nmodes, ntaps) sliding windows."""
+    idx = jnp.arange(S)[:, None] * os + jnp.arange(ntaps)[None, :]
+    return jnp.moveaxis(Eb[:, idx], 0, 1)
+
+
+@partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive",
+                                   "real_valued", "block_size"))
+def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
+                          adaptive=False, real_valued=False, block_size=32):
+    """Block-LMS training: MXU-formulated variant of the reference recurrence.
+
+    Splits the TrSyms training symbols into blocks of ``block_size``; within a
+    block the taps are frozen so the filter output for all output modes is one
+    (S, nmodes*ntaps) x (nmodes*ntaps, nout) matmul and the tap update is the
+    transposed rank-S matmul. The adaptive step size aggregates the
+    reference's rule exactly over each block (1/mu accumulates the squared
+    error of every sign-flip sample).
+
+    Same signature/returns as train_equaliser_seq; err is per-block-expanded
+    to (nout, nblocks*Niter*S) which equals TrSyms*Niter when divisible.
+    """
+    E = jnp.asarray(E)
+    wx = jnp.asarray(wx)
+    symbols = jnp.asarray(symbols)
+    nmodes = E.shape[0]
+    nout = wx.shape[0]
+    ntaps = wx.shape[-1]
+    S = min(block_size, TrSyms)
+    nblocks = TrSyms // S
+    errfn = _make_error_fn_real(method) if real_valued else _make_error_fn(method)
+    conj = (lambda x: x) if real_valued else jnp.conj
+    rdtype = E.real.dtype
+    mu0 = jnp.full((nout,), mu, dtype=rdtype)
+
+    def step(carry, b):
+        w, mu_c, err_p = carry  # w: (nout, nmodes, ntaps), mu_c: (nout,)
+        blk = jnp.mod(b, nblocks)
+        base = blk * S * os
+        Eb = lax.dynamic_slice(E, (0, base), (nmodes, S * os + ntaps - 1))
+        Xb = _gather_windows(Eb, S, os, ntaps)  # (S, nmodes, ntaps)
+        Xf = Xb.reshape(S, nmodes * ntaps)
+        Wf = w.reshape(nout, nmodes * ntaps)
+        Xest = jnp.matmul(Xf, Wf.T, precision=lax.Precision.HIGHEST).T  # (nout, S)
+        tr0 = blk * S
+        idxs = tr0 + jnp.arange(S)
+        err = jax.vmap(lambda xrow, srow: errfn(xrow, srow, idxs))(Xest, symbols)  # (nout, S)
+        dW = jnp.matmul(err * mu_c[:, None].astype(err.dtype), conj(Xf),
+                        precision=lax.Precision.HIGHEST)  # (nout, nmodes*ntaps)
+        w = w + dW.reshape(nout, nmodes, ntaps)
+        if adaptive:
+            eall = jnp.concatenate([err_p[:, None], err], axis=1)
+            if real_valued:
+                flip = ~(eall[:, 1:] * eall[:, :-1] > 0)
+                e2 = err * err
+            else:
+                flip = ~((eall[:, 1:].real * eall[:, :-1].real > 0)
+                         & (eall[:, 1:].imag * eall[:, :-1].imag > 0))
+                e2 = err.real ** 2 + err.imag ** 2
+            # chained mu <- mu/(1+mu*e) == 1/mu += e over flip samples
+            inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2, 0.), axis=1)
+            mu_c = 1.0 / inv
+        return (w, mu_c, err[:, -1]), err
+
+    steps = jnp.arange(Niter * nblocks)
+    err_p0 = jnp.zeros((nout,), dtype=E.dtype)
+    (w, mu_f, _), errs = lax.scan(step, (wx, mu0, err_p0), steps)
+    errs = jnp.moveaxis(errs, 0, 1).reshape(nout, -1)
+    return errs, w, mu_f
+
+
+# ---------------------------------------------------------------------------
+# filter application — strided complex convolution on the MXU
+# ---------------------------------------------------------------------------
+
+def _real_conv(x, k, stride):
+    """Real conv via lax.conv_general_dilated: x (nmodes, L), k (nout, nmodes, ntaps)."""
+    out = lax.conv_general_dilated(
+        x[None], k, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST)
+    return out[0]
+
+
+@partial(jax.jit, static_argnames=("os",))
+def apply_filter_to_signal(E, os, wx):
+    """Apply equaliser taps and downsample by os.
+
+    Parity: reference pythran_equalisation.py:37-76 —
+    ``out[j, i] = sum_{k,t} E[k, i*os+t] * wx[j, k, t]`` (cross-correlation,
+    matching XLA's unflipped convolution). Complex arithmetic uses the
+    3-multiplication (Karatsuba) decomposition into real convolutions.
+    """
+    E = jnp.asarray(E)
+    wx = jnp.asarray(wx)
+    if jnp.iscomplexobj(E):
+        Er, Ei = E.real, E.imag
+        Wr, Wi = wx.real, wx.imag
+        k1 = _real_conv(Er, Wr, os)
+        k2 = _real_conv(Ei, Wi, os)
+        k3 = _real_conv(Er + Ei, Wr + Wi, os)
+        return (k1 - k2) + 1j * (k3 - k1 - k2)
+    return _real_conv(E, wx, os)
+
+
+def apply_filter(E, os, wxy, modes=None, method=None):
+    """Driver-level apply_filter (reference core/equalisation/equalisation.py:138-188).
+
+    Handles the complex-signal/real-valued-taps conversion. ``method`` is
+    accepted for API compatibility and ignored (single backend).
+    """
+    E = jnp.asarray(E)
+    wxy = jnp.asarray(wxy)
+    if modes is None:
+        modes = np.arange(wxy.shape[0])
+    else:
+        modes = np.atleast_1d(np.asarray(modes))
+    nmodes = modes.shape[0]
+    if jnp.iscomplexobj(E) and jnp.iscomplexobj(wxy):
+        return apply_filter_to_signal(E, os, wxy[modes])
+    if jnp.iscomplexobj(E):
+        E = _convert_sig_to_real(E)
+    out = apply_filter_to_signal(E, os, wxy[modes])
+    return _convert_sig_to_cmplx(out, nmodes)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _cal_training_symbol_len(os, ntaps, L):
+    """Default training length (reference :361-362)."""
+    return int(L // os // ntaps - 1) * int(ntaps)
+
+
+def _reshape_symbols(symbols, method, M, dtype, nmodes):
+    """Normalise the shape of the symbols/constants array (reference :568-594)."""
+    if symbols is None or method in NONDECISION_BASED:
+        symbols = generate_symbols_for_eq(method, M, dtype)
+    symbols = np.asarray(symbols)
+    if method not in REAL_VALUED:
+        if symbols.ndim == 1 or symbols.shape[0] == 1:
+            symbols = np.tile(symbols, (nmodes, 1))
+        elif symbols.shape[0] != nmodes:
+            raise ValueError(
+                "Symbols array is shape {} but signal has {} modes".format(symbols.shape, nmodes))
+        return np.atleast_2d(symbols.astype(dtype))
+    if np.iscomplexobj(symbols):
+        if symbols.ndim == 1 or symbols.shape[0] == 1:
+            symbols = np.repeat([symbols.real, symbols.imag], nmodes // 2, axis=0).squeeze()
+            symbols = symbols.reshape(nmodes, -1)
+        elif symbols.shape[0] == nmodes // 2:
+            symbols = np.vstack([symbols.real, symbols.imag])
+        else:
+            raise ValueError(
+                "Complex symbols array has {} modes, needs 1 or {}".format(symbols.shape[0], nmodes // 2))
+    else:
+        if symbols.shape[0] == 2 and nmodes > 2:
+            symbols = np.repeat([symbols[0], symbols[1]], nmodes // 2, axis=0).squeeze()
+            symbols = symbols.reshape(nmodes, -1)
+        elif symbols.shape[0] != nmodes:
+            raise ValueError(
+                "Symbols array is shape {} but signal has {} modes".format(symbols.shape, nmodes))
+    return symbols.astype(dtype)
+
+
+def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
+                    method="mcma", adaptive_stepsize=False, symbols=None, modes=None,
+                    apply=False, backend="seq", block_size=32, **kwargs):
+    """Blind/data-aided adaptive equalisation of a (nmodes, L) signal.
+
+    Parity: reference core/equalisation/equalisation.py:468-566.
+    ``backend`` selects the exact sequential scan ("seq") or the MXU
+    block-LMS ("block").
+    Returns (wxy, err) or (Eest, wxy, err) when apply=True.
+    """
+    method = method.lower()
+    E = jnp.asarray(E)
+    real_valued = method in REAL_VALUED
+    if real_valued:
+        E = _convert_sig_to_real(E)
+    nmodes = E.shape[0]
+    if modes is None:
+        modes = np.arange(nmodes)
+    else:
+        modes = np.atleast_1d(np.asarray(modes))
+        if real_valued:
+            modes = np.hstack([modes, modes + nmodes // 2])
+        assert np.max(modes) < nmodes, "largest mode number is larger than shape of signal"
+    if wxy is None:
+        wxy = _init_taps(Ntaps, nmodes, nmodes, np.dtype(E.dtype))
+    else:
+        wxy = np.asarray(wxy).astype(E.dtype)
+        Ntaps = wxy.shape[-1]
+        assert wxy.ndim == 3, "wxy needs to be three dimensional"
+    if TrSyms is None:
+        TrSyms = _cal_training_symbol_len(os, Ntaps, E.shape[-1])
+    TrSyms = int(TrSyms)
+    symbols = _reshape_symbols(symbols, method, M, np.dtype(E.dtype), nmodes)
+    kern_method = method[:-5] if real_valued else method
+    train = train_equaliser_block if backend == "block" else train_equaliser_seq
+    kern_kwargs = dict(adaptive=bool(adaptive_stepsize), real_valued=real_valued)
+    if backend == "block":
+        kern_kwargs["block_size"] = block_size
+    # train only the requested modes; untouched rows of wxy pass through
+    wsel = jnp.asarray(wxy)[modes]
+    ssel = jnp.asarray(symbols)[modes]
+    err_sel, wsel_out, mu_out = train(E, TrSyms, int(Niter), int(os),
+                                      float(mu), wsel, ssel, kern_method, **kern_kwargs)
+    wxy = jnp.asarray(wxy).at[modes].set(wsel_out)
+    err = jnp.zeros((nmodes, err_sel.shape[-1]), dtype=err_sel.dtype).at[modes].set(err_sel)
+    if apply:
+        Eest = apply_filter(E, os, wxy, modes=modes)
+        return Eest, wxy, err
+    return wxy, err
+
+
+def dual_mode_equalisation(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=(None, None),
+                           Niter=(1, 1), methods=("mcma", "sbd"),
+                           adaptive_stepsize=(False, False), symbols=None, modes=None,
+                           apply=True, backend="seq", **kwargs):
+    """Two-stage equalisation: stage-1 taps warm-start stage 2.
+
+    Parity: reference core/equalisation/equalisation.py:400-466.
+    """
+    symbols = np.atleast_1d(symbols) if symbols is not None else None
+    if symbols is not None and symbols.ndim < 3:
+        symbols = np.tile(symbols, (2, 1, 1))
+    s0 = symbols[0] if symbols is not None else None
+    s1 = symbols[1] if symbols is not None else None
+    wxy1, err1 = equalise_signal(E, os, mu[0], M, wxy=wxy, Ntaps=Ntaps, TrSyms=TrSyms[0],
+                                 Niter=Niter[0], method=methods[0],
+                                 adaptive_stepsize=adaptive_stepsize[0], symbols=s0,
+                                 modes=modes, backend=backend, **kwargs)
+    wxy2, err2 = equalise_signal(E, os, mu[1], M, wxy=wxy1, TrSyms=TrSyms[1],
+                                 Niter=Niter[1], method=methods[1],
+                                 adaptive_stepsize=adaptive_stepsize[1], symbols=s1,
+                                 modes=modes, backend=backend, **kwargs)
+    if apply:
+        Eest = apply_filter(E, os, wxy2, modes=modes)
+        return Eest, wxy2, (err1, err2)
+    return wxy2, (err1, err2)
+
+
+def CDcomp(E, fs, N, L, D, wl):
+    """Chromatic dispersion compensation, overlap-add blockwise FFT.
+
+    Parity: reference core/equalisation/equalisation.py:596-669.
+    Returns (compensated signal, frequency response H).
+    """
+    E = jnp.asarray(E).flatten()
+    samp = E.shape[0]
+    c = 2.99792458e8
+    if N == 0:
+        N = samp
+    omega = jnp.pi * fs * jnp.linspace(-1, 1, N)
+    beta2 = D * wl ** 2 / (c * 2 * np.pi)
+    H = jnp.exp(-.5j * omega ** 2 * beta2 * L)
+    if N == samp:
+        sigEQ = jnp.fft.fftshift(jnp.fft.fft(E))
+        sigEQ = sigEQ * H
+        sigEQ = jnp.fft.ifft(jnp.fft.ifftshift(sigEQ))
+    else:
+        n = N // 2
+        zp = N // 4
+        B = samp // n
+        # blocks of n samples zero-padded into N, filtered, overlap-added
+        blocks = E[: B * n].reshape(B, n)
+        sigB = jnp.zeros((B, N), dtype=jnp.complex64 if E.dtype == jnp.complex64 else jnp.complex128)
+        sigB = sigB.at[:, zp:-zp].set(blocks)
+        sigB = jnp.fft.ifft(jnp.fft.fft(sigB, axis=-1) * H, axis=-1)
+        sigEQ = jnp.zeros(n * (B + 1), dtype=sigB.dtype)
+        for i in range(B):
+            sigEQ = sigEQ.at[i * n: i * n + n + 2 * zp].add(sigB[i])
+        sigEQ = sigEQ[zp:-zp]
+    return sigEQ, H
