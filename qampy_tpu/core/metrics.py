@@ -33,7 +33,7 @@ def _neg2re_cross(E, symbols):
     Er = jnp.stack([E.real, E.imag], axis=-1)  # (..., N, 2)
     S = jnp.stack([symbols.real, symbols.imag], axis=0)  # (2, M)
     cross = jnp.matmul(Er, S.astype(Er.dtype), precision=jax.lax.Precision.HIGHEST)
-    return cabssquared(symbols)[None, :].astype(Er.dtype) - 2 * cross
+    return cabssquared(symbols).astype(Er.dtype) - 2 * cross
 
 
 @partial(jax.jit, static_argnames=())

@@ -288,7 +288,9 @@ def train_equaliser_seq(E, TrSyms, Niter, os, mu, wx, symbols, method,
             return (w, mu_c, err), err
 
         steps = jnp.arange(Niter * TrSyms)
-        (w, mu_f, _), errs = lax.scan(step, (w0, mu0, jnp.zeros((), dtype=E.dtype)), steps)
+        carry0 = (_vary_like(w0, E), _vary_like(mu0, E),
+                  _vary_like(jnp.zeros((), dtype=E.dtype), E))
+        (w, mu_f, _), errs = lax.scan(step, carry0, steps)
         return errs, w, mu_f
 
     errs, wout, mus = jax.vmap(train_one_mode)(wx, symbols)
@@ -303,6 +305,17 @@ def _gather_windows(Eb, S, os, ntaps):
     """(nmodes, S*os+ntaps-1) -> (S, nmodes, ntaps) sliding windows."""
     idx = jnp.arange(S)[:, None] * os + jnp.arange(ntaps)[None, :]
     return jnp.moveaxis(Eb[:, idx], 0, 1)
+
+
+def _vary_like(x, E):
+    """Give x the shard_map varying-axes type of data derived from E.
+
+    Inside shard_map the scan carries (taps, stepsize, last error) become
+    device-varying; adding a zero derived from E propagates that type
+    without changing values. Outside shard_map XLA folds this away.
+    """
+    z = (E[(0,) * E.ndim] * 0).real
+    return x + z.astype(x.real.dtype)
 
 
 @partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive",
@@ -365,7 +378,8 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
 
     steps = jnp.arange(Niter * nblocks)
     err_p0 = jnp.zeros((nout,), dtype=E.dtype)
-    (w, mu_f, _), errs = lax.scan(step, (wx, mu0, err_p0), steps)
+    carry0 = (_vary_like(wx, E), _vary_like(mu0, E), _vary_like(err_p0, E))
+    (w, mu_f, _), errs = lax.scan(step, carry0, steps)
     errs = jnp.moveaxis(errs, 0, 1).reshape(nout, -1)
     return errs, w, mu_f
 

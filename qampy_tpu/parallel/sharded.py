@@ -1,0 +1,178 @@
+"""Time-sharded DSP kernels via shard_map + ICI collectives.
+
+The waveform time axis is sharded across the mesh; FIR filtering needs an
+(ntaps-1)-sample halo from the right neighbour and BPS an N-sample halo on
+both sides — fetched with ``lax.ppermute`` (neighbour exchange over ICI),
+exactly the overlap-save pattern the reference uses for chunked GPU BPS
+(core/phaserecovery.py:184-205) but expressed as mesh collectives. Phase
+unwrap across shard boundaries is made exact with an all-gather of boundary
+phases and a per-device offset correction. Equaliser training runs
+data-parallel over local time blocks with ``pmean`` tap averaging.
+
+Boundary semantics are circular (the first/last devices exchange wrap-around
+halos); for the long waveforms this targets, the O(ntaps) wrap region is
+statistically negligible and keeps all shapes static and equal per shard.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from qampy_tpu.parallel.mesh import TIME, make_mesh
+from qampy_tpu.ops import equaliser as eqops
+from qampy_tpu.ops import phase as phops
+from qampy_tpu.helpers import cabssquared
+
+
+def _halo_from_right(x, n):
+    """Append the first n samples of the right neighbour (circular)."""
+    ndev = lax.axis_size(TIME)
+    perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+    halo = lax.ppermute(x[..., :n], TIME, perm)
+    return jnp.concatenate([x, halo], axis=-1)
+
+
+def _halo_from_left(x, n):
+    """Prepend the last n samples of the left neighbour (circular)."""
+    ndev = lax.axis_size(TIME)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    halo = lax.ppermute(x[..., -n:], TIME, perm)
+    return jnp.concatenate([halo, x], axis=-1)
+
+
+def _apply_filter_local(E_loc, os, wxy):
+    """Filter a local shard with a right halo so outputs tile exactly.
+
+    Output length is Lloc//os per shard (the halo supplies the ntaps-1
+    lookahead the VALID conv would otherwise lose).
+    """
+    ntaps = wxy.shape[-1]
+    Ee = _halo_from_right(E_loc, ntaps - 1 + os)
+    out = eqops.apply_filter_to_signal(Ee, os, wxy)
+    return out[..., : E_loc.shape[-1] // os]
+
+
+def _unwrap_across_shards(ph4):
+    """Global unwrap of a sharded phase sequence (values pre-multiplied by 4).
+
+    Local unwrap + boundary offset correction: offsets are multiples of 2*pi
+    accumulated left-to-right over shards, computed from all-gathered
+    boundary samples with a tiny device-count loop.
+    """
+    ndev = lax.axis_size(TIME)
+    loc = jnp.unwrap(ph4, axis=-1)
+    lasts = lax.all_gather(loc[..., -1], TIME)   # (ndev, ...)
+    firsts = lax.all_gather(loc[..., 0], TIME)   # (ndev, ...)
+    two_pi = 2 * np.pi
+
+    def body(d, offs):
+        # total discontinuity between the (already offset) end of shard d-1
+        # and the raw local start of shard d, snapped to a 2*pi multiple
+        jump = lasts[d - 1] + offs[d - 1] - firsts[d]
+        k = jnp.round(jump / two_pi)
+        return offs.at[d].set(k * two_pi)
+
+    offs0 = lax.pcast(jnp.zeros((ndev,) + loc.shape[:-1], dtype=loc.dtype),
+                      (TIME,), to='varying')
+    offs = lax.fori_loop(1, ndev, body, offs0)
+    my = lax.axis_index(TIME)
+    return loc + offs[my][..., None]
+
+
+def _bps_local(E_loc, angles, symbols, N):
+    """BPS on a local shard with N-sample halos on both sides.
+
+    Every local sample gets a full 2N averaging window; the per-sample angle
+    indices are identical to the unsharded kernel away from the global edges.
+    """
+    Ee = _halo_from_left(_halo_from_right(E_loc, N), N)
+
+    def one_mode(e):
+        idx = phops.bps_idx(e, angles, symbols, N)
+        return phops.select_angles(angles, idx)
+
+    ph = jax.vmap(one_mode)(Ee)
+    ph = ph[..., N:-N] if N > 0 else ph
+    ph = _unwrap_across_shards(ph * 4) / 4
+    return E_loc * jnp.exp(1.j * ph).astype(E_loc.dtype), ph
+
+
+def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
+                    adaptive, rounds, block_size):
+    """Data-parallel block-LMS: local training + pmean tap averaging.
+
+    Each device trains on its own time block starting from the shared taps;
+    after each round the taps are averaged over the mesh (psum/pmean over
+    ICI). For a stationary channel this converges like training on the
+    concatenated sequence while every chip works in parallel.
+    """
+    w = w0
+    for _ in range(rounds):
+        _, w_new, _ = eqops.train_equaliser_block(
+            E_loc, TrSyms_loc, Niter, os, mu, w, symbols, method,
+            adaptive=adaptive, block_size=block_size)
+        # CMA-family taps carry an arbitrary carrier phase per device (the
+        # modulus criterion is phase blind and the local carrier phase
+        # differs per time block); align every device's taps to device 0's
+        # phase before averaging, otherwise the pmean is destructive.
+        w_ref = lax.all_gather(w_new, TIME)[0]
+        inner = jnp.sum(w_new * jnp.conj(w_ref), axis=(-2, -1), keepdims=True)
+        phase = inner / jnp.maximum(jnp.abs(inner), 1e-12)
+        w = lax.pmean(w_new * jnp.conj(phase), TIME)
+    return w
+
+
+def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
+                          TrSyms_loc=None, Niter=1, bps_angles=32, bps_N=16,
+                          rounds=2, block_size=64, adaptive=True):
+    """Build the jitted multi-chip flagship RX chain.
+
+    Input: (nmodes, L) waveform sharded over time; runs two-stage
+    equalisation (data-parallel training with pmean tap averaging), sharded
+    filter application with halo exchange, sharded BPS with halo exchange
+    and cross-shard unwrap, and psum-reduced quality metrics.
+
+    Returns a function f(E, syms1, syms2) -> (Eout, ph, evm) where Eout is
+    the equalised + derotated symbol-rate signal (sharded over time).
+    """
+    dtype = np.complex64
+    symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
+    symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
+    from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
+
+    def chain(E_loc):
+        nmodes = E_loc.shape[0]
+        w0 = jnp.asarray(eqops._init_taps(Ntaps, nmodes, nmodes, dtype))
+        trs = TrSyms_loc if TrSyms_loc is not None else (E_loc.shape[-1] - Ntaps) // os
+        w1 = _train_parallel(E_loc, os, mu1, w0, jnp.asarray(symbols1), methods[0],
+                             Niter, trs, adaptive, rounds, block_size)
+        w2 = _train_parallel(E_loc, os, mu2, w1, jnp.asarray(symbols2), methods[1],
+                             Niter, trs, adaptive, rounds, block_size)
+        Eeq = _apply_filter_local(E_loc, os, w2)
+        angles = jnp.linspace(-np.pi / 4, np.pi / 4, bps_angles, endpoint=False,
+                              dtype=np.float32).reshape(1, -1)
+        Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N)
+        # psum-reduced EVM against decisions
+        from qampy_tpu.core.metrics import decision_idx
+        det = jnp.asarray(const)[decision_idx(Eout, jnp.asarray(const))]
+        sq = jnp.sum(cabssquared(Eout - det))
+        n = Eout.size
+        evm = jnp.sqrt(lax.psum(sq, TIME) / lax.psum(jnp.float32(n), TIME))
+        return Eout, ph, evm
+
+    smapped = jax.shard_map(chain, mesh=mesh,
+                            in_specs=P(None, TIME),
+                            out_specs=(P(None, TIME), P(None, TIME), P()))
+    return jax.jit(smapped)
+
+
+def shard_signal(E, mesh):
+    """Device_put a (nmodes, L) array sharded over the time axis."""
+    sharding = jax.sharding.NamedSharding(mesh, P(None, TIME))
+    return jax.device_put(E, sharding)

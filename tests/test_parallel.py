@@ -1,0 +1,100 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no multi-node testing (SURVEY.md §4.6); here the sharded
+kernels are validated against their unsharded counterparts.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import qampy_tpu as qt
+from qampy_tpu import impairments, equalisation, phaserec, helpers
+from qampy_tpu.parallel import make_mesh, sharded
+from qampy_tpu.parallel.mesh import TIME
+from qampy_tpu.ops import equaliser as eqops
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+class TestHaloFilter:
+    def test_sharded_filter_matches_unsharded(self, mesh, rng):
+        E = (rng.standard_normal((2, 2048)) + 1j * rng.standard_normal((2, 2048))).astype(np.complex64)
+        wx = (rng.standard_normal((2, 2, 17)) + 1j * rng.standard_normal((2, 2, 17))).astype(np.complex64)
+        os = 2
+
+        f = jax.jit(jax.shard_map(
+            lambda e: sharded._apply_filter_local(e, os, jnp.asarray(wx)),
+            mesh=mesh, in_specs=P(None, TIME), out_specs=P(None, TIME)))
+        out_sharded = np.asarray(f(sharded.shard_signal(E, mesh)))
+        out_ref = np.asarray(eqops.apply_filter_to_signal(jnp.asarray(E), os, jnp.asarray(wx)))
+        # interior must match exactly; only the circular tail windows differ
+        n = out_ref.shape[-1]
+        assert out_sharded.shape[-1] == E.shape[-1] // os
+        assert np.allclose(out_sharded[:, :n], out_ref, atol=1e-4)
+
+
+class TestShardedUnwrap:
+    def test_cross_shard_unwrap(self, mesh):
+        # continuous phase ramp exceeding pi jumps across shard boundaries
+        L = 1024
+        ph_true = np.cumsum(np.full(L, 0.05)) + 0.3 * np.sin(np.arange(L) / 20)
+        wrapped = (ph_true + np.pi) % (2 * np.pi) - np.pi
+
+        f = jax.jit(jax.shard_map(lambda x: sharded._unwrap_across_shards(x),
+                                  mesh=mesh, in_specs=P(TIME), out_specs=P(TIME)))
+        x = jax.device_put(wrapped.astype(np.float32),
+                           jax.sharding.NamedSharding(mesh, P(TIME)))
+        got = np.asarray(f(x))
+        ref = np.unwrap(wrapped)
+        assert np.allclose(got, ref, atol=1e-3)
+
+
+class TestShardedChain:
+    def test_flagship_chain(self, mesh):
+        fb = 25e9
+        M = 64
+        sig = qt.SignalQAMGrayCoded(M, 2 ** 16, nmodes=2, fb=fb, seed=1)
+        up = sig.resample(2 * fb, beta=0.1)
+        s = impairments.apply_phase_noise(up, 20e3, key=jr.PRNGKey(5))
+        s = impairments.change_snr(s, 35, key=jr.PRNGKey(3))
+        s = impairments.apply_PMD(s, np.pi / 5.6, 50e-12)
+
+        E = sharded.shard_signal(np.asarray(s), mesh)
+        chain = sharded.make_sharded_rx_chain(mesh, os=2, mu1=1e-3, mu2=1e-3, M=M,
+                                              Ntaps=17, methods=("cma", "rde"),
+                                              rounds=2, bps_angles=64, bps_N=14)
+        Eout, ph, evm = chain(E)
+        out = sig.replace(samples=np.asarray(Eout))
+        ser = np.asarray(out.cal_ser())
+        # a handful of wrap-boundary symbols are tolerated
+        assert np.all(ser < 5e-4)
+        assert float(evm) < 0.06
+
+    def test_matches_unsharded_quality(self, mesh):
+        fb = 25e9
+        sig = qt.SignalQAMGrayCoded(16, 2 ** 15, nmodes=2, fb=fb, seed=2)
+        up = sig.resample(2 * fb, beta=0.1)
+        s = impairments.change_snr(up, 30, key=jr.PRNGKey(1))
+        s = impairments.apply_PMD(s, np.pi / 5.6, 60e-12)
+
+        eq, wxy, err = equalisation.dual_mode_equalisation(
+            s, (1e-3, 1e-3), 17, methods=("cma", "rde"),
+            adaptive_stepsize=(True, True), backend="block")
+        ser_ref = np.asarray(eq.cal_ser())
+
+        E = sharded.shard_signal(np.asarray(s), mesh)
+        chain = sharded.make_sharded_rx_chain(mesh, os=2, mu1=1e-3, mu2=1e-3, M=16,
+                                              Ntaps=17, methods=("cma", "rde"),
+                                              rounds=2, bps_angles=32, bps_N=14)
+        Eout, ph, evm = chain(E)
+        out = sig.replace(samples=np.asarray(Eout))
+        ser_sh = np.asarray(out.cal_ser())
+        assert np.all(ser_sh < ser_ref.max() + 5e-4)
