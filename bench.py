@@ -4,6 +4,11 @@ Workload (BASELINE.json config): dual-pol 64-QAM, 2 samples/symbol,
 CMA -> RDE adaptive 2x2 MIMO equalisation + blind phase search, end-to-end.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the driver-set north star of 100 Msym/s/chip.
+
+Platform note: on the axon TPU tunnel, complex arrays must stay inside jit
+and only real arrays may cross the device->host boundary; the TX signal is
+therefore synthesised host-side (numpy) and the whole RX chain is one jitted
+program returning float32 metrics.
 """
 import json
 import sys
@@ -12,39 +17,112 @@ import time
 import numpy as np
 
 
+def make_tx(Nsym=2 ** 20, M=64, fb=25e9, seed=1):
+    """Host-side TX synthesis: 64-QAM, RRC 2x oversampling, phase noise,
+    AWGN at 35 dB, PMD. Pure numpy so the TPU only sees the RX workload."""
+    from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam, gray_code_qam
+    rng = np.random.default_rng(seed)
+    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
+    g = gray_code_qam(M)
+    u = np.zeros_like(g)
+    u[g] = np.arange(M)
+    coded = const  # power-normalised constellation in gray order
+    sym_idx = rng.integers(0, M, size=(2, Nsym))
+    syms = coded[sym_idx]
+    # zero-insertion upsample + RRC shaping (frequency domain)
+    os = 2
+    L = Nsym * os
+    up = np.zeros((2, L), dtype=np.complex64)
+    up[:, ::os] = syms
+    f = np.fft.fftfreq(L) * (os * fb)
+    T = 1 / fb
+    beta = 0.1
+    af = np.abs(f)
+    rc = np.zeros(L)
+    rc[af <= (1 - beta) / (2 * T)] = T
+    mask = (af > (1 - beta) / (2 * T)) & (af <= (1 + beta) / (2 * T))
+    rc[mask] = T / 2 * (1 + np.cos(np.pi * T / beta * (af[mask] - (1 - beta) / (2 * T))))
+    h = np.sqrt(rc)
+    h /= h.max()
+    sig = np.fft.ifft(np.fft.fft(up, axis=-1) * h, axis=-1).astype(np.complex64)
+    sig /= np.sqrt(np.mean(np.abs(sig) ** 2, axis=-1, keepdims=True))
+    # phase noise (Wiener, 20 kHz combined linewidth)
+    var = 2 * np.pi * 20e3 / (os * fb)
+    ph = np.cumsum(rng.normal(scale=np.sqrt(var), size=(2, L)), axis=-1)
+    sig = sig * np.exp(1j * ph).astype(np.complex64)
+    # AWGN at 35 dB (os-aware)
+    n_amp = 10 ** (-35 / 20) * np.sqrt(os)
+    sig = sig + (n_amp / np.sqrt(2) * (rng.standard_normal((2, L)) +
+                 1j * rng.standard_normal((2, L)))).astype(np.complex64)
+    # PMD: rotation + DGD in the frequency domain
+    theta = np.pi / 5.6
+    t_dgd = 50e-12
+    omega = 2 * np.pi * np.linspace(-os * fb / 2, os * fb / 2, L, endpoint=False)
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    Sf = np.fft.fftshift(np.fft.fft(np.fft.ifftshift(sig, axes=-1), axis=-1), axes=-1)
+    Sf = R @ Sf
+    Sf *= np.exp(np.array([-1, 1])[:, None] * 1j * omega * t_dgd / 2)
+    Sf = R.T @ Sf
+    sig = np.fft.fftshift(np.fft.ifft(np.fft.ifftshift(Sf, axes=-1), axis=-1), axes=-1)
+    return sig.astype(np.complex64), syms.astype(np.complex64), coded
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    import jax.random as jr
-    import qampy_tpu as qt
-    from qampy_tpu import impairments
+    from functools import partial
     sys.path.insert(0, ".")
     from __graft_entry__ import _flagship_fn
+    from qampy_tpu.core.metrics import decision_idx
 
     Nsym = 2 ** 20
-    fb = 25e9
-    sig = qt.SignalQAMGrayCoded(64, Nsym, nmodes=2, fb=fb, seed=1)
-    up = sig.resample(2 * fb, beta=0.1)
-    s = impairments.apply_phase_noise(up, 20e3, key=jr.PRNGKey(5))
-    s = impairments.change_snr(s, 35, key=jr.PRNGKey(3))
-    s = impairments.apply_PMD(s, np.pi / 5.6, 50e-12)
-    E = jnp.asarray(np.asarray(s).astype(np.complex64))
+    E_np, syms_np, const_np = make_tx(Nsym)
+    fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14, block_size=64)
+    const = const_np  # host constant: see _flagship_fn note
 
-    fn = jax.jit(_flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
-                              block_size=64))
-    out = jax.block_until_ready(fn(E))  # compile
-    # correctness gate: the chain must actually decode
-    rec = sig.replace(samples=np.asarray(out)[:, 100:-100])
-    ser = float(np.mean(np.asarray(rec.cal_ser())))
+    @jax.jit
+    def chain(E):
+        out = fwd(E)
+        # on-device decision EVM; the phase-ambiguity SER search is host-side
+        cj = jnp.asarray(const)
+        det = cj[decision_idx(out, cj)]
+        evm = jnp.sqrt(jnp.mean(jnp.abs(out - det) ** 2))
+        return out.real, out.imag, evm
+
+    E = jax.device_put(E_np)
+    r = jax.block_until_ready(chain(E))  # compile
+    # correctness gate (host-side): SER against tx, searching over the pi/2
+    # phase ambiguity, pol swap and the taps-centre symbol offset
+    out = (np.asarray(r[0]) + 1j * np.asarray(r[1]))[:, 200:-200]
+    levels = np.unique(const_np.real)
+    d0, lo, n = levels[1] - levels[0], levels[0], levels.size
+
+    def decide(z):
+        q = lambda x: lo + d0 * np.clip(np.round((x - lo) / d0), 0, n - 1)
+        return (q(z.real) + 1j * q(z.imag)).astype(np.complex64)
+
+    # each mode independently: search ref-mode pairing, pi/2 rotation and
+    # symbol offset (modes carry independent phase noise -> independent rot)
+    sers = []
+    for m in range(out.shape[0]):
+        b = 1.0
+        for refm in range(syms_np.shape[0]):
+            for off in range(0, 9):
+                ref = syms_np[refm, 200 + off:200 + off + out.shape[1]]
+                for rot in range(4):
+                    o = out[m] * (1j ** rot)
+                    b = min(b, float(np.mean(np.abs(decide(o) - ref) > d0 / 4)))
+        sers.append(b)
+    best = float(np.mean(sers))
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(E)
-    jax.block_until_ready(out)
+        r = chain(E)
+    jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / reps
     msym_s = Nsym * 2 / dt / 1e6  # dual-pol: 2 modes x Nsym symbols each
     result = {
-        "metric": "dual-pol 64-QAM CMA->RDE->BPS end-to-end throughput (SER=%.1e)" % ser,
+        "metric": "dual-pol 64-QAM CMA->RDE->BPS end-to-end throughput (SER=%.1e)" % best,
         "value": round(msym_s, 2),
         "unit": "Msym/s/chip",
         "vs_baseline": round(msym_s / 100.0, 3),

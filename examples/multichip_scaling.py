@@ -1,0 +1,34 @@
+"""Time-sharded multi-chip RX chain over a jax mesh.
+
+Shards a dual-pol 64-QAM waveform over all available devices, trains the
+equaliser data-parallel with phase-aligned tap averaging, and runs halo-
+exchange filtering + BPS. On a CPU host set
+XLA_FLAGS=--xla_force_host_platform_device_count=8 to simulate 8 devices.
+Run: python examples/multichip_scaling.py
+"""
+import numpy as np
+import jax
+import jax.random as jr
+import qampy_tpu as qt
+from qampy_tpu import impairments
+from qampy_tpu.parallel import make_mesh, sharded
+
+ndev = len(jax.devices())
+mesh = make_mesh(ndev)
+print("mesh:", mesh)
+
+fb = 25e9
+sig = qt.SignalQAMGrayCoded(64, 2 ** 16, nmodes=2, fb=fb, seed=1)
+up = sig.resample(2 * fb, beta=0.1)
+s = impairments.apply_phase_noise(up, 20e3, key=jr.PRNGKey(5))
+s = impairments.change_snr(s, 35, key=jr.PRNGKey(3))
+s = impairments.apply_PMD(s, np.pi / 5.6, 50e-12)
+
+E = sharded.shard_signal(np.asarray(s), mesh)
+chain = sharded.make_sharded_rx_chain(mesh, os=2, mu1=1e-3, mu2=1e-3, M=64,
+                                      Ntaps=17, methods=("cma", "rde"),
+                                      rounds=2, bps_angles=64, bps_N=14)
+Eout, ph, evm = chain(E)
+out = sig.replace(samples=np.asarray(Eout))
+print("EVM:", float(evm))
+print("SER:", np.asarray(out.cal_ser()))

@@ -522,8 +522,12 @@ def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
     ssel = jnp.asarray(symbols)[modes]
     err_sel, wsel_out, mu_out = train(E, TrSyms, int(Niter), int(os),
                                       float(mu), wsel, ssel, kern_method, **kern_kwargs)
-    wxy = jnp.asarray(wxy).at[modes].set(wsel_out)
-    err = jnp.zeros((nmodes, err_sel.shape[-1]), dtype=err_sel.dtype).at[modes].set(err_sel)
+    if np.array_equal(modes, np.arange(nmodes)):
+        wxy = wsel_out
+        err = err_sel
+    else:
+        wxy = jnp.asarray(wxy).at[modes].set(wsel_out)
+        err = jnp.zeros((nmodes, err_sel.shape[-1]), dtype=err_sel.dtype).at[modes].set(err_sel)
     if apply:
         Eest = apply_filter(E, os, wxy, modes=modes)
         return Eest, wxy, err

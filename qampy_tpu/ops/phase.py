@@ -27,35 +27,70 @@ from qampy_tpu.utils import segment_axis
 from qampy_tpu.core.metrics import cal_s0
 
 
-@partial(jax.jit, static_argnames=("N",))
-def bps_idx(E, testangles, symbols, N):
+def detect_square_grid(symbols):
+    """Detect a uniform full square grid constellation (host-side).
+
+    Returns a hashable (delta, lo, n) tuple when ``symbols`` is the full
+    product of n uniformly spaced real levels with itself (square QAM), else
+    None. Used to switch the BPS distance search from an O(M) min-distance
+    to an O(1) analytic rounding decision per (sample, angle).
+    """
+    try:
+        s = np.asarray(symbols)
+    except Exception:
+        return None  # traced value: cannot inspect
+    if s.ndim != 1 or s.size < 4:
+        return None
+    re = np.unique(np.round(s.real, 6))
+    im = np.unique(np.round(s.imag, 6))
+    if re.size * im.size != s.size or re.size != im.size or re.size < 2:
+        return None
+    d = np.diff(re)
+    if not (np.allclose(d, d[0], rtol=1e-3) and np.allclose(np.diff(im), d[0], rtol=1e-3)
+            and np.allclose(re, im, rtol=1e-3)):
+        return None
+    return (float(d[0]), float(re[0]), int(re.size))
+
+
+def _min_dist_sq(EE, symbols, grid):
+    """min_s |EE - s|^2 elementwise over the last-axis-free EE array.
+
+    With a square-grid constellation the nearest point is found analytically
+    by per-axis rounding (O(1) per element, pure VPU); otherwise the expanded
+    square |z|^2 - 2 Re(z conj(s)) + |s|^2 is evaluated with the cross term
+    as a real matmul on the MXU.
+    """
+    if grid is not None:
+        d, lo, n = grid
+        zr = EE.real
+        zi = EE.imag
+        qr = lo + d * jnp.clip(jnp.round((zr - lo) / d), 0, n - 1)
+        qi = lo + d * jnp.clip(jnp.round((zi - lo) / d), 0, n - 1)
+        return (zr - qr) ** 2 + (zi - qi) ** 2
+    zs = jnp.stack([EE.real, EE.imag], axis=-1)  # (..., 2)
+    S = jnp.stack([symbols.real, symbols.imag], axis=0).astype(zs.dtype)  # (2, M)
+    cross = jnp.matmul(zs, S, precision=lax.Precision.HIGHEST)  # (..., M)
+    return cabssquared(EE).astype(zs.dtype) + (
+        cabssquared(symbols).astype(zs.dtype) - 2 * cross).min(axis=-1)
+
+
+@partial(jax.jit, static_argnames=("N", "grid"))
+def bps_idx(E, testangles, symbols, N, grid=None):
     """Blind phase search index kernel (reference pythran_dsp.py:47-85).
 
     E: (L,) complex; testangles: (1, A) or (L, A); symbols: (M,).
     Returns int32 (L,) index of the best test angle per sample, computed over
     a 2N running window, with the same edge semantics as the reference
-    (positions [N, L-N) are filled; the rest are 0).
+    (positions [N, L-N) are filled; the rest are 0). ``grid`` enables the
+    analytic square-QAM decision (see detect_square_grid).
     """
     E = jnp.asarray(E)
     testangles = jnp.asarray(testangles)
     symbols = jnp.asarray(symbols)
-    L = E.shape[0]
-    A = testangles.shape[-1]
     comp = jnp.exp(1j * testangles).astype(E.dtype)
     # rotated samples (L, A): broadcast for shared angles, per-sample otherwise
     EE = E[:, None] * comp if testangles.shape[0] > 1 else E[:, None] * comp[0][None, :]
-    # min-distance over the constellation via expanded square:
-    # |z - s|^2 = |z|^2 - 2 Re(z conj(s)) + |s|^2 ; |z|^2 = |E|^2 is constant
-    # per sample and irrelevant for the running-window *argmin over angles*?
-    # -> it IS relevant since the window sums differ per angle only through
-    # the cross terms; |E_i|^2 is angle-independent so it cancels in the
-    # argmin over angles. Kept for parity of the distance values: add it.
-    zr = jnp.stack([EE.real, EE.imag], axis=-1)  # (L, A, 2)
-    S = jnp.stack([symbols.real, symbols.imag], axis=0).astype(zr.dtype)  # (2, M)
-    cross = jnp.matmul(zr.reshape(L * A, 2), S, precision=lax.Precision.HIGHEST)
-    dist = cabssquared(E)[:, None].astype(zr.dtype) + (
-        cabssquared(symbols)[None, :].astype(zr.dtype) - 2 * cross.reshape(L, A, -1)
-    ).min(axis=-1)
+    dist = _min_dist_sq(EE, symbols, grid)
     return _select_angle_index(dist, 2 * N)
 
 
@@ -95,7 +130,8 @@ def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
     angles = jnp.linspace(-np.pi / 4, np.pi / 4, Mtestangles, endpoint=False,
                           dtype=rdtype).reshape(1, -1)
     Ew = jnp.atleast_2d(E)
-    idx = jax.vmap(lambda e: bps_idx(e, angles, symbols, N))(Ew)
+    grid = detect_square_grid(symbols)
+    idx = jax.vmap(lambda e: bps_idx(e, angles, symbols, N, grid=grid))(Ew)
     ph = jax.vmap(lambda i: select_angles(angles, i))(idx)
     # ignore the phases outside the averaging window; unwrap the pi/2 ambiguity
     ph = ph.at[:, N:-N].set(jnp.unwrap(ph[:, N:-N] * 4, axis=-1) / 4)
@@ -117,12 +153,14 @@ def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
                           dtype=rdtype).reshape(1, -1)
     Ew = jnp.atleast_2d(E)
 
+    grid = detect_square_grid(symbols)
+
     def one_mode(e):
-        idx = bps_idx(e, angles, symbols, N)
+        idx = bps_idx(e, angles, symbols, N, grid=grid)
         ph = select_angles(angles, idx)
         b = jnp.linspace(-B / 2, B / 2, B, dtype=rdtype)
         phn = ph[:, None] + b[None, :] / (B * Mtestangles) * np.pi / 2
-        idx2 = bps_idx(e, phn, symbols, N)
+        idx2 = bps_idx(e, phn, symbols, N, grid=grid)
         phf = select_angles(phn, idx2)
         return jnp.unwrap(phf * 4) / 4
 

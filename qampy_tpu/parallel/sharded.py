@@ -84,7 +84,7 @@ def _unwrap_across_shards(ph4):
     return loc + offs[my][..., None]
 
 
-def _bps_local(E_loc, angles, symbols, N):
+def _bps_local(E_loc, angles, symbols, N, grid=None):
     """BPS on a local shard with N-sample halos on both sides.
 
     Every local sample gets a full 2N averaging window; the per-sample angle
@@ -93,7 +93,7 @@ def _bps_local(E_loc, angles, symbols, N):
     Ee = _halo_from_left(_halo_from_right(E_loc, N), N)
 
     def one_mode(e):
-        idx = phops.bps_idx(e, angles, symbols, N)
+        idx = phops.bps_idx(e, angles, symbols, N, grid=grid)
         return phops.select_angles(angles, idx)
 
     ph = jax.vmap(one_mode)(Ee)
@@ -145,6 +145,7 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
     from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
     const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
+    grid = phops.detect_square_grid(const)
 
     def chain(E_loc):
         nmodes = E_loc.shape[0]
@@ -157,7 +158,7 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
         Eeq = _apply_filter_local(E_loc, os, w2)
         angles = jnp.linspace(-np.pi / 4, np.pi / 4, bps_angles, endpoint=False,
                               dtype=np.float32).reshape(1, -1)
-        Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N)
+        Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N, grid=grid)
         # psum-reduced EVM against decisions
         from qampy_tpu.core.metrics import decision_idx
         det = jnp.asarray(const)[decision_idx(Eout, jnp.asarray(const))]

@@ -74,10 +74,17 @@ def prbs_ext(seed, taps, nbits, N):
 def prbs_int(seed, mask, nbits, N):
     """Internal-XOR (Galois) LFSR bit stream (reference pythran_dsp.py:168-178).
 
-    Galois form has a serial dependency through the full register; generated
-    with a plain integer loop (used rarely; the Fibonacci form is default).
+    Galois form has a serial dependency through the full register; uses the
+    native C kernel when built (qampy_tpu/native), else a Python loop.
     """
+    from qampy_tpu.native import get_lib
+    import ctypes
+    lib = get_lib()
     out = np.zeros(N, dtype=np.uint8)
+    if lib is not None:
+        lib.prbs_int(int(seed), int(mask), int(nbits),
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(N))
+        return out
     state = int(seed)
     for i in range(N):
         state = state << 1

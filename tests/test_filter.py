@@ -1,0 +1,108 @@
+"""Filter/resampling tests (mirrors reference test/test_filter.py, test/test_resample.py)."""
+import numpy as np
+import pytest
+
+import qampy_tpu as qt
+from qampy_tpu.core import filter as cfilter
+from qampy_tpu.core import resample as cresample
+from qampy_tpu.core import special
+from qampy_tpu import filtering
+
+
+class TestMovingAverage:
+    def test_numeric_cases(self):
+        # reference test/test_filter.py:9-23 numeric cases
+        out = np.asarray(cfilter.moving_average(np.arange(1., 6.), N=3))
+        assert np.allclose(out, [2., 3., 4.])
+        out2 = np.asarray(cfilter.moving_average(np.arange(1., 10.), N=3))
+        assert out2.shape[0] == 7
+
+    def test_2d(self):
+        x = np.arange(12.).reshape(2, 6)
+        out = np.asarray(cfilter.moving_average(x, N=3))
+        assert out.shape == (2, 4)
+
+
+class TestRRC:
+    def test_freq_response_bounds(self):
+        f = np.linspace(-2, 2, 1001)
+        h = np.asarray(special.rrcos_freq(f, 0.2, 1.0))
+        assert h.max() <= 1.0 + 1e-6
+        assert np.allclose(h[np.abs(f) > 0.6 * (1 + 0.2)], 0)
+
+    def test_time_freq_consistency(self):
+        # FFT of the truncated impulse response approximates the freq response
+        taps = 501
+        fs = 8.0
+        t = (np.arange(taps) - taps // 2) / fs
+        ht = np.asarray(special.rrcos_time(t, 0.3, 1.0))
+        H = np.abs(np.fft.fft(ht / ht.sum()))
+        f = np.fft.fftfreq(taps) * fs
+        Href = np.asarray(special.rrcos_freq(f, 0.3, 1.0))
+        Href = Href / Href.max()
+        assert np.allclose(H[np.abs(f) < 0.3], Href[np.abs(f) < 0.3], atol=0.05)
+
+    def test_pulseshaping_preserves_length(self):
+        sig = qt.SignalQAMGrayCoded(4, 2 ** 12, fb=10e9, seed=0)
+        out = filtering.rrcos_pulseshaping(sig, 0.2)
+        assert out.shape == sig.shape
+        assert isinstance(out, qt.SignalQAMGrayCoded)
+
+
+class TestFilterSignal:
+    @pytest.mark.parametrize("ftype", ["bessel", "butter", "gauss", "exp"])
+    def test_lowpass_attenuates(self, ftype):
+        fs = 16.0
+        t = np.arange(2 ** 12) / fs
+        lo = np.sin(2 * np.pi * 0.5 * t)
+        hi = np.sin(2 * np.pi * 6.0 * t)
+        x = (lo + hi)[None, :]
+        y = np.asarray(cfilter.filter_signal(x, fs, 1.0, ftype=ftype, order=4)).real
+        # high-frequency energy reduced by >10x, low frequency mostly intact
+        X = np.abs(np.fft.rfft(x[0]))
+        Y = np.abs(np.fft.rfft(y[0]))
+        fbin_hi = int(6.0 / fs * 2 ** 12)
+        fbin_lo = int(0.5 / fs * 2 ** 12)
+        assert Y[fbin_hi] < 0.15 * X[fbin_hi]
+        # gauss/exp cutoffs are half-power-style definitions (reference
+        # core/filter.py:110-122), so the passband edge sits near 0.5
+        assert Y[fbin_lo] > 0.35 * X[fbin_lo]
+
+    def test_sosfilt_matches_scipy(self, rng):
+        import scipy.signal as scisig
+        x = rng.standard_normal((2, 512)).astype(np.float32)
+        sos = scisig.bessel(2, 0.2, 'low', norm='mag', output='sos', fs=2)
+        ref = scisig.sosfilt(sos, x, axis=-1)
+        got = np.asarray(cfilter._sosfilt_scan(sos, x))
+        assert np.allclose(got, ref, atol=1e-4)
+
+
+class TestResample:
+    @pytest.mark.parametrize("up", [2, 4])
+    def test_length(self, up, rng):
+        x = (rng.standard_normal(2 ** 10) + 1j * rng.standard_normal(2 ** 10)).astype(np.complex64)
+        out = np.asarray(cresample.rrcos_resample(x, 1.0, float(up), beta=0.2))
+        assert out.shape[0] == 2 ** 10 * up
+
+    def test_rational(self, rng):
+        x = (rng.standard_normal(3 ** 6) + 0j).astype(np.complex64)
+        out = np.asarray(cresample.rrcos_resample(x, 2.0, 3.0, beta=0.2))
+        assert out.shape[0] == int(np.ceil(3 ** 6 * 3 / 2))
+
+    def test_spectrum_confined_after_shaping(self):
+        sig = qt.SignalQAMGrayCoded(4, 2 ** 12, fb=10e9, seed=1)
+        up = sig.resample(40e9, beta=0.1)
+        S = np.abs(np.fft.fft(np.asarray(up)[0]))
+        f = np.fft.fftfreq(up.shape[-1], 1 / 40e9)
+        # energy outside (1+beta)*fb/2 should be negligible
+        out_band = S[np.abs(f) > 0.58 * 10e9]
+        assert out_band.max() < 0.01 * S.max()
+
+
+class TestPreFilter:
+    def test_brickwall(self, rng):
+        x = (rng.standard_normal((1, 1024)) + 1j * rng.standard_normal((1, 1024))).astype(np.complex64)
+        y = np.asarray(cfilter.pre_filter_wdm(x, 0.5, 2.0))
+        Y = np.abs(np.fft.fft(y[0]))
+        f = np.fft.fftfreq(1024, 1 / 2.0)
+        assert np.allclose(Y[np.abs(f) > 0.26], 0, atol=1e-5)
