@@ -80,40 +80,43 @@ def main():
     fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14, block_size=64)
     const = const_np  # host constant: see _flagship_fn note
 
+    levels = np.unique(const_np.real)
+    d0, lo, n = float(levels[1] - levels[0]), float(levels[0]), int(levels.size)
+
+    chain = jax.jit(fwd)
+
     @jax.jit
-    def chain(E):
-        out = fwd(E)
-        # on-device decision EVM; the phase-ambiguity SER search is host-side
-        cj = jnp.asarray(const)
-        det = cj[decision_idx(out, cj)]
-        evm = jnp.sqrt(jnp.mean(jnp.abs(out - det) ** 2))
-        return out.real, out.imag, evm
+    def gate(out, ref):
+        # the axon tunnel cannot transfer large/complex buffers to host, so
+        # the whole correctness gate runs on device: SER against tx symbols,
+        # minimised over pi/2 rotation x pol pairing x taps-centre offset
+        o = out[:, 200:-200]
+
+        def decide(z):
+            q = lambda x: lo + d0 * jnp.clip(jnp.round((x - lo) / d0), 0, n - 1)
+            return q(z.real) + 1j * q(z.imag)
+
+        L = o.shape[1]
+        # decisions are independent of the reference alignment: compute the
+        # 4 rotated decision sequences once per mode, then compare against
+        # every (ref mode, offset) slice — keeps the graph small
+        sers = []
+        for m in range(o.shape[0]):
+            decs = [decide(o[m] * (1j ** rot)) for rot in range(4)]
+            cand = []
+            for refm in range(ref.shape[0]):
+                for off in (3, 4, 5):  # taps-centre offset = (ntaps//2)//os
+                    rseg = jax.lax.dynamic_slice(ref, (refm, 200 + off), (1, L))[0]
+                    for dec in decs:
+                        cand.append(jnp.mean(
+                            (jnp.abs(dec - rseg) > d0 / 4).astype(jnp.float32)))
+            sers.append(jnp.min(jnp.stack(cand)))
+        return jnp.mean(jnp.stack(sers))
 
     E = jax.device_put(E_np)
-    r = jax.block_until_ready(chain(E))  # compile
-    # correctness gate (host-side): SER against tx, searching over the pi/2
-    # phase ambiguity, pol swap and the taps-centre symbol offset
-    out = (np.asarray(r[0]) + 1j * np.asarray(r[1]))[:, 200:-200]
-    levels = np.unique(const_np.real)
-    d0, lo, n = levels[1] - levels[0], levels[0], levels.size
-
-    def decide(z):
-        q = lambda x: lo + d0 * np.clip(np.round((x - lo) / d0), 0, n - 1)
-        return (q(z.real) + 1j * q(z.imag)).astype(np.complex64)
-
-    # each mode independently: search ref-mode pairing, pi/2 rotation and
-    # symbol offset (modes carry independent phase noise -> independent rot)
-    sers = []
-    for m in range(out.shape[0]):
-        b = 1.0
-        for refm in range(syms_np.shape[0]):
-            for off in range(0, 9):
-                ref = syms_np[refm, 200 + off:200 + off + out.shape[1]]
-                for rot in range(4):
-                    o = out[m] * (1j ** rot)
-                    b = min(b, float(np.mean(np.abs(decide(o) - ref) > d0 / 4)))
-        sers.append(b)
-    best = float(np.mean(sers))
+    ref = jax.device_put(syms_np)
+    out = jax.block_until_ready(chain(E))  # compile chain
+    best = float(jax.block_until_ready(gate(out, ref)))
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -290,7 +290,9 @@ def train_equaliser_seq(E, TrSyms, Niter, os, mu, wx, symbols, method,
         steps = jnp.arange(Niter * TrSyms)
         carry0 = (_vary_like(w0, E), _vary_like(mu0, E),
                   _vary_like(jnp.zeros((), dtype=E.dtype), E))
-        (w, mu_f, _), errs = lax.scan(step, carry0, steps)
+        # unrolling amortises per-step scan overhead on TPU; the recurrence
+        # itself is unchanged
+        (w, mu_f, _), errs = lax.scan(step, carry0, steps, unroll=8)
         return errs, w, mu_f
 
     errs, wout, mus = jax.vmap(train_one_mode)(wx, symbols)
@@ -379,7 +381,7 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
     steps = jnp.arange(Niter * nblocks)
     err_p0 = jnp.zeros((nout,), dtype=E.dtype)
     carry0 = (_vary_like(wx, E), _vary_like(mu0, E), _vary_like(err_p0, E))
-    (w, mu_f, _), errs = lax.scan(step, carry0, steps)
+    (w, mu_f, _), errs = lax.scan(step, carry0, steps, unroll=4)
     errs = jnp.moveaxis(errs, 0, 1).reshape(nout, -1)
     return errs, w, mu_f
 
@@ -513,7 +515,13 @@ def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
     TrSyms = int(TrSyms)
     symbols = _reshape_symbols(symbols, method, M, np.dtype(E.dtype), nmodes)
     kern_method = method[:-5] if real_valued else method
-    train = train_equaliser_block if backend == "block" else train_equaliser_seq
+    if backend == "block":
+        train = train_equaliser_block
+    elif backend == "pallas":
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_pallas
+        train = train_equaliser_pallas
+    else:
+        train = train_equaliser_seq
     kern_kwargs = dict(adaptive=bool(adaptive_stepsize), real_valued=real_valued)
     if backend == "block":
         kern_kwargs["block_size"] = block_size
