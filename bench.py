@@ -75,9 +75,27 @@ def main():
     from __graft_entry__ import _flagship_fn
     from qampy_tpu.core.metrics import decision_idx
 
+    print("devices: %s" % jax.devices(), file=sys.stderr, flush=True)
+
+    def fetch(x, what="value"):
+        # the axon tunnel's first device->host transfer can take minutes and
+        # sometimes errors transiently; retry with patience
+        for attempt in range(4):
+            try:
+                return np.asarray(x)
+            except Exception as e:
+                print("d2h %s attempt %d failed: %s" % (what, attempt, e),
+                      file=sys.stderr, flush=True)
+                time.sleep(5)
+        raise RuntimeError("device->host transfer failed for %s" % what)
+
+    # warm the transfer path before anything timing-sensitive
+    fetch(jax.jit(lambda: jnp.zeros(8, jnp.float32))(), "warmup")
+    print("d2h warm", file=sys.stderr, flush=True)
     Nsym = 2 ** 20
     E_np, syms_np, const_np = make_tx(Nsym)
-    fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14, block_size=64)
+    print("tx ready", file=sys.stderr, flush=True)
+    fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14, block_size=256)
     const = const_np  # host constant: see _flagship_fn note
 
     levels = np.unique(const_np.real)
@@ -115,8 +133,11 @@ def main():
 
     E = jax.device_put(E_np)
     ref = jax.device_put(syms_np)
+    print("compiling chain...", file=sys.stderr, flush=True)
     out = jax.block_until_ready(chain(E))  # compile chain
-    best = float(jax.block_until_ready(gate(out, ref)))
+    print("chain done, compiling gate...", file=sys.stderr, flush=True)
+    best = float(fetch(jax.block_until_ready(gate(out, ref)), "gate"))
+    print("gate done", file=sys.stderr, flush=True)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -20,3 +20,27 @@ from qampy_tpu.core import (
 ber_functions = sync
 signal_quality = metrics
 special_fcts = special
+
+
+def __getattr__(name):
+    # lazy aliases for reference-layout module names that live in ops/
+    # (importing them eagerly here would be a circular import)
+    if name == "equalisation":
+        from qampy_tpu.ops import equaliser
+        return equaliser
+    if name == "phaserecovery":
+        from qampy_tpu.ops import phase
+        return phase
+    if name == "pilotbased_receiver":
+        from qampy_tpu.ops import pilots
+        return pilots
+    if name == "pilotbased_transmitter":
+        from qampy_tpu.core import pilotbased_transmitter
+        return pilotbased_transmitter
+    if name == "prbs":
+        from qampy_tpu import prbs
+        return prbs
+    if name == "utils":
+        from qampy_tpu import utils
+        return utils
+    raise AttributeError(name)

@@ -834,6 +834,35 @@ class TDHQAMSymbols(Signal):
     def symbols_M2(self):
         return self._symbols_M2
 
+    def _divide_signal_frame(self, signal):
+        """Split a received TDHQAM signal back into its M1/M2 streams.
+
+        Parity: reference signals.py:1396-1421 ('dist' power method): find
+        the frame alignment by maximising the M-larger subframe power, then
+        de-interleave.
+        """
+        signal = jnp.atleast_2d(jnp.asarray(signal))
+        f_M, f_M1, f_M2 = self._cal_fractions(self._fr)
+        N = signal.shape[1]
+        idx = np.arange(N)
+        idx1 = idx[idx % f_M < f_M1]
+        idx2 = idx[idx % f_M >= f_M1]
+        idx_m = idx1 if self.M[0] > self.M[1] else idx2
+        if self._power_method != "dist":
+            raise NotImplementedError("currently only 'dist' method is implemented")
+        s1_rows, s2_rows = [], []
+        sig_np = np.asarray(signal)
+        for i in range(sig_np.shape[0]):
+            pows = [np.mean(np.abs(sig_np[i, (idx_m + j) % idx.max()]))
+                    for j in range(f_M)]
+            imax = int(np.argmax(pows))
+            s1_rows.append(sig_np[i, (idx1 + imax) % idx.max()])
+            s2_rows.append(sig_np[i, (idx2 + imax) % idx.max()])
+        syms1 = np.stack(s1_rows)
+        syms2 = np.stack(s2_rows)
+        return (self._symbols_M1.from_symbol_array(syms1, fb=self.fb, M=self.M[0]),
+                self._symbols_M2.from_symbol_array(syms2, fb=self.fb, M=self.M[1]))
+
 
 # ---------------------------------------------------------------------------
 # pilot signals
@@ -877,6 +906,71 @@ class SignalWithPilots(Signal):
         self._shiftfctrs = None
         self._synctaps = None
         self._foe = None
+
+    @classmethod
+    def from_symbol_array(cls, payload, frame_len, pilot_seq_len, pilot_ins_rat,
+                          pilots=None, pilot_idx=None, nframes=1, pilot_scale=1,
+                          payload_is_frame=False, pilot_class=None,
+                          pilot_kwargs={"M": 4}, payload_class=None,
+                          payload_kwargs={}, **kwargs):
+        """Build a pilot signal from an existing payload symbol array/object.
+
+        Parity: reference signals.py:1548-1645 (the commonly used paths:
+        generated or provided pilots, optional explicit pilot indices).
+        """
+        pilot_class = pilot_class or SignalQAMGrayCoded
+        payload_class = payload_class or SignalQAMGrayCoded
+        payload_arr = np.asarray(payload)
+        nmodes, N = payload_arr.shape
+        if pilot_idx is None:
+            idx, idx_dat, idx_pil = cls._cal_pilot_idx(frame_len, pilot_seq_len, pilot_ins_rat)
+        else:
+            pidx = np.zeros(frame_len, dtype=bool)
+            pidx[np.asarray(pilot_idx)] = True
+            idx_pil = pidx
+            idx_dat = ~pidx
+        Ndat = int(np.count_nonzero(idx_dat))
+        assert Ndat <= N, "data frame is too short for the given frame length"
+        if "M" in kwargs:
+            assert "M" not in payload_kwargs, "M can not be given for both payload and signal"
+            payload_kwargs = dict(payload_kwargs, M=kwargs.pop("M"))
+        if payload_is_frame:
+            pilots = pilot_class.from_symbol_array(payload_arr[:, idx_pil], **pilot_kwargs)
+            payload = payload_class.from_symbol_array(payload_arr[:, idx_dat], **payload_kwargs)
+            payload_arr = np.asarray(payload)
+        if pilots is None:
+            pilots = pilot_class(pilot_kwargs["M"], int(np.count_nonzero(idx_pil)),
+                                 nmodes=nmodes, dtype=payload_arr.dtype) / np.sqrt(pilot_scale)
+        else:
+            parr = np.atleast_2d(np.asarray(pilots))
+            if parr.shape[0] == 1 and nmodes > 1:
+                parr = np.vstack([parr] * nmodes)
+            if not isinstance(pilots, Signal):
+                pilots = pilot_class.from_symbol_array(parr, **pilot_kwargs)
+            elif parr.shape[0] != np.asarray(pilots).shape[0]:
+                pilots = pilots.replace(samples=jnp.asarray(parr))
+        if not isinstance(payload, Signal):
+            payload = payload_class.from_symbol_array(payload_arr, **payload_kwargs)
+        out = np.empty((nmodes, frame_len), dtype=payload_arr.dtype)
+        out[:, idx_pil] = np.asarray(pilots.samples)[:, :int(np.count_nonzero(idx_pil))]
+        out[:, idx_dat] = payload_arr[:, :Ndat]
+        out = np.tile(out, (1, nframes))
+        obj = object.__new__(cls)
+        obj.samples = jnp.asarray(out)
+        obj._fb = payload.fb
+        obj._fs = payload.fb
+        obj._pilot_scale = pilot_scale
+        obj._frame_len = frame_len
+        obj._pilot_seq_len = pilot_seq_len
+        obj._pilot_ins_rat = pilot_ins_rat
+        trunc = jnp.asarray(payload_arr[:, :Ndat])
+        obj._symbols_obj = payload.replace(samples=trunc, _symbols=trunc)
+        obj._pilots_obj = pilots
+        obj._idx_dat = idx_dat
+        obj._shiftfctrs = None
+        obj._synctaps = None
+        obj._foe = None
+        return obj
 
     @staticmethod
     def _cal_pilot_idx(frame_len, pilot_seq_len, pilot_ins_rat):
