@@ -95,13 +95,10 @@ def main():
     Nsym = 2 ** 20
     E_np, syms_np, const_np = make_tx(Nsym)
     print("tx ready", file=sys.stderr, flush=True)
-    fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14, block_size=256)
     const = const_np  # host constant: see _flagship_fn note
 
     levels = np.unique(const_np.real)
     d0, lo, n = float(levels[1] - levels[0]), float(levels[0]), int(levels.size)
-
-    chain = jax.jit(fwd)
 
     @jax.jit
     def gate(out, ref):
@@ -133,8 +130,12 @@ def main():
 
     E = jax.device_put(E_np)
     ref = jax.device_put(syms_np)
-    print("compiling chain...", file=sys.stderr, flush=True)
-    out = jax.block_until_ready(chain(E))  # compile chain
+    block_size = int(sys.argv[sys.argv.index("--single") + 1]) if "--single" in sys.argv else 64
+    fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
+                       block_size=block_size)
+    chain = jax.jit(fwd)
+    print("compiling chain (bs=%d)..." % block_size, file=sys.stderr, flush=True)
+    out = jax.block_until_ready(chain(E))
     print("chain done, compiling gate...", file=sys.stderr, flush=True)
     best = float(fetch(jax.block_until_ready(gate(out, ref)), "gate"))
     print("gate done", file=sys.stderr, flush=True)
@@ -154,5 +155,27 @@ def main():
     print(json.dumps(result))
 
 
+def _supervise():
+    """Run attempts in isolated subprocesses: a tunnel failure poisons the
+    whole process, so each (block_size) attempt gets a fresh interpreter."""
+    import subprocess
+    for bs in (64, 64, 256):
+        proc = subprocess.run([sys.executable, __file__, "--single", str(bs)],
+                              capture_output=True, text=True, timeout=1800)
+        line = ""
+        for l in proc.stdout.strip().splitlines():
+            if l.startswith("{"):
+                line = l
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        sys.stderr.flush()
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--single" in sys.argv:
+        main()
+    else:
+        sys.exit(_supervise())

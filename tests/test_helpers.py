@@ -118,3 +118,33 @@ class TestIO:
         savemat(fn, {"re": a, "im": b})
         out = ndarray_from_matlab(fn, [["re", "im"]])
         assert np.allclose(out, a + 1j * b)
+
+
+REFERENCE_MAT = "/root/reference/Scripts/data/20GBaud_SRRC0P05_64QAM_PRBS15.mat"
+
+
+class TestRealData:
+    @pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_MAT),
+                        reason="reference data file not available")
+    def test_load_real_symbols_and_recover(self):
+        """Real measured 64-QAM symbol set through a synthetic channel.
+
+        Mirrors the Scripts/64qam_data_test.py workload with a simulated
+        waveform (the measured scope file is not bundled).
+        """
+        import jax.random as jr
+        from qampy_tpu import io as qio
+        from qampy_tpu import equalisation, impairments, helpers as qhelpers
+        symbs = qio.load_symbols_from_matlab_file(REFERENCE_MAT, 64, (("X_Symbs",),),
+                                                  fb=20e9, normalise=True,
+                                                  fake_polmux=True)
+        assert symbs.shape == (2, 32768)
+        sig = symbs.resample(2 * symbs.fb, beta=0.05)
+        sig = impairments.change_snr(sig, 30, key=jr.PRNGKey(0))
+        sig = impairments.apply_PMD(sig, np.pi / 5.6, 30e-12)
+        E, wxy, err = equalisation.dual_mode_equalisation(
+            sig, (6e-4, 6e-4), 17, methods=("mcma", "sbd"),
+            adaptive_stepsize=(True, True))
+        E = E.replace(samples=qhelpers.normalise_and_center(E.samples))
+        gmi, _ = E.cal_gmi()
+        assert np.all(gmi > 5.5)
