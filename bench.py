@@ -139,12 +139,37 @@ def main():
     print("chain done, compiling gate...", file=sys.stderr, flush=True)
     best = float(fetch(jax.block_until_ready(gate(out, ref)), "gate"))
     print("gate done", file=sys.stderr, flush=True)
-    reps = 5
+
+    # --- timing ---
+    # async dispatch + possible relay-side memoization make naive rep loops
+    # unreliable; instead run REPS chained executions inside ONE program
+    # (each iteration's input depends on the previous iteration's output so
+    # nothing can be elided) and synchronise with a scalar d2h fetch.
+    REPS = 10
+
+    @jax.jit
+    def timed(E, s0):
+        def body(i, carry):
+            scale = 1 + 1e-6 * carry
+            o = fwd(E * scale.astype(E.dtype))
+            return jnp.mean(jnp.abs(o)).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, REPS, body, s0)
+
+    @jax.jit
+    def noop(s0):
+        return s0 + 1
+
+    fetch(jax.block_until_ready(timed(E, jnp.float32(0.))), "timed-compile")
+    # fetch overhead baseline
     t0 = time.perf_counter()
-    for _ in range(reps):
-        r = chain(E)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / reps
+    fetch(noop(jnp.float32(1.)), "noop")
+    t_fetch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetch(timed(E, jnp.float32(1.)), "timed")
+    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9) / REPS
+    print("per-chain %.2f ms (fetch baseline %.1f ms)" % (dt * 1e3, t_fetch * 1e3),
+          file=sys.stderr, flush=True)
     msym_s = Nsym * 2 / dt / 1e6  # dual-pol: 2 modes x Nsym symbols each
     result = {
         "metric": "dual-pol 64-QAM CMA->RDE->BPS end-to-end throughput (SER=%.1e)" % best,

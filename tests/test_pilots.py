@@ -77,3 +77,22 @@ class TestPilotFOE:
         rx = pilots * np.exp(2j * np.pi * fo * np.arange(N))
         foe, per_mode, cond = pilot_based_foe(rx[None, :], pilots[None, :])
         assert abs(float(foe) - fo) < 1e-6
+
+
+class TestMultiFrame:
+    def test_pilot_equaliser_nframes(self):
+        import jax.random as jr
+        import qampy_tpu as qt
+        from qampy_tpu import equalisation, impairments
+        sig = qt.SignalWithPilots(16, 2 ** 14, 2 ** 9, 32, nmodes=2, Mpilots=4,
+                                  nframes=4, fb=24e9, seed=5)
+        sig2 = sig.resample(sig.fb * 2, beta=0.02)
+        sig3 = impairments.simulate_transmission(sig2, snr=25, dgd=5e-12,
+                                                 key=jr.PRNGKey(2))
+        assert sig3.sync2frame()
+        taps, sout, rest = equalisation.pilot_equaliser_nframes(
+            sig3, (1e-3, 1e-3), 25, frames=[0, 1], foe_comp=False,
+            methods=("cma", "sbd"))
+        assert sout.shape[-1] == 2 * sig.frame_len
+        ber = np.asarray(sout.cal_ber())
+        assert np.all(ber < 1e-2)
