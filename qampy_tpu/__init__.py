@@ -28,6 +28,7 @@ from qampy_tpu import core, ops
 from qampy_tpu.signals import (
     Signal,
     SignalQAMGrayCoded,
+    QPSKfromBERT,
     SignalPSKGrayCoded,
     SymbolOnlySignal,
     ResampledQAM,

@@ -6,6 +6,7 @@ Mirrors the reference's type/attribute-preservation contract tests
 import pickle
 
 import numpy as np
+import qampy_tpu as qt
 import jax
 import jax.numpy as jnp
 import pytest
@@ -200,3 +201,58 @@ class TestPilotSignal:
             rng.standard_normal(s.shape) + 1j * rng.standard_normal(s.shape)).astype(np.complex64))
         gmi, _ = noisy.cal_gmi()
         assert np.all(gmi > 5.8)
+
+
+class TestSignalContracts:
+    """Extended attribute/type contracts (reference test_signalobject.py depth)."""
+
+    def test_symbols_preserved_through_chain(self):
+        import jax.random as jr
+        from qampy_tpu import impairments
+        s = qt.SignalQAMGrayCoded(16, 2 ** 12, nmodes=2, fb=10e9, seed=20)
+        chain = impairments.change_snr(s.resample(20e9, beta=0.1), 20, key=jr.PRNGKey(0))
+        assert chain.symbols is s.symbols
+        assert chain.coded_symbols is s.coded_symbols
+
+    def test_os_property(self):
+        s = qt.SignalQAMGrayCoded(4, 2 ** 10, fb=10e9, seed=21)
+        assert s.os == 1
+        up = s.resample(40e9, beta=0.2)
+        assert up.os == 4
+
+    def test_recreate_with_fb_scales_fs(self):
+        s = qt.SignalQAMGrayCoded(4, 2 ** 10, fb=10e9, seed=22).resample(20e9, beta=0.1)
+        out = s.recreate_from_np_array(np.asarray(s), fb=20e9)
+        assert out.fb == 20e9
+        assert out.fs == 40e9  # os preserved
+
+    def test_qpsk_from_bert(self):
+        s = qt.QPSKfromBERT(2 ** 12, nmodes=2)
+        assert s.M == 4
+        assert np.all(np.asarray(s.cal_ser(synced=True)) == 0)
+
+    def test_psk_ber(self):
+        import jax.random as jr
+        from qampy_tpu import impairments
+        s = qt.SignalPSKGrayCoded(8, 2 ** 14, seed=23)
+        n = impairments.change_snr(s, 20, key=jr.PRNGKey(1))
+        assert np.all(np.asarray(n.cal_ber(synced=True)) < 1e-2)
+
+    def test_symbol_only_ser(self):
+        alphabet = np.exp(2j * np.pi * np.arange(8) / 8)
+        s = SymbolOnlySignal(8, 2 ** 12, alphabet, nmodes=1, seed=24)
+        assert np.all(np.asarray(s.cal_ser(synced=True)) == 0)
+
+    def test_pilot_signal_resample_roundtrip(self):
+        s = SignalWithPilots(16, 2 ** 12, 128, 16, nframes=2, fb=10e9, seed=25)
+        up = s.resample(20e9, beta=0.1)
+        assert isinstance(up, SignalWithPilots)
+        assert up.frame_len == s.frame_len
+        assert up.nframes == 2  # frame counting is os-aware
+        down = up.resample(10e9, beta=0.1)
+        assert np.all(np.asarray(down.normalize_and_center().cal_ser()) < 1e-2)
+
+    def test_bits_shape(self):
+        s = qt.SignalQAMGrayCoded(64, 1000, nmodes=3, seed=26)
+        assert s.bits.shape == (3, 6000)
+        assert s.Nbits == 6
