@@ -35,8 +35,11 @@ def __getattr__(name):
         from qampy_tpu.ops import pilots
         return pilots
     if name == "pilotbased_transmitter":
-        from qampy_tpu.core import pilotbased_transmitter
-        return pilotbased_transmitter
+        # NOTE: must go through importlib: a `from qampy_tpu.core import ...`
+        # here re-enters this __getattr__ via hasattr() before the submodule
+        # import starts, recursing forever
+        import importlib
+        return importlib.import_module("qampy_tpu.core.pilotbased_transmitter")
     if name == "prbs":
         from qampy_tpu import prbs
         return prbs

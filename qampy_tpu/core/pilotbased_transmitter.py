@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from qampy_tpu.signals import SignalWithPilots, SignalQAMGrayCoded
+from qampy_tpu.signals import SignalWithPilots, SignalQAMGrayCoded, TDHQAMSymbols
 from qampy_tpu.core import impairments as cimpairments
 
 
@@ -34,6 +34,35 @@ def gen_dataframe_without_phasepilots(M, nmodes, frame_len=2 ** 16,
     """
     return SignalWithPilots(M, frame_len, pilot_seq_len, 0, nmodes=nmodes,
                             Mpilots=4, **kwargs)
+
+
+def gen_dataframe_with_phasepilots_hybridmodulation(M=(128, 256), mod_ratio=(1, 1),
+                                                    npols=2, frame_len=2 ** 18,
+                                                    pilot_seq_len=256,
+                                                    pilot_ins_ratio=32, **kwargs):
+    """Pilot data frame whose payload is time-domain hybrid QAM.
+
+    Parity: reference core/pilotbased_transmitter.py:106-185, which is
+    bitrotted (built on the removed ``modulation`` module with hard-coded
+    normalisation constants). Rebuilt here: the payload interleaves the two
+    QAM orders in the given ratio using ``TDHQAMSymbols`` ('dist'
+    equidistant-constellation power scaling), framed by a QPSK pilot sequence
+    and periodic phase pilots via ``SignalWithPilots.from_symbol_array``.
+    """
+    if len(M) != 2 or len(mod_ratio) != 2:
+        raise ValueError("exactly two modulation formats/ratios are supported")
+    if (frame_len - pilot_seq_len) % pilot_ins_ratio != 0:
+        raise ValueError("Pilot insertion ratio not properly selected")
+    _, idx_dat, _ = SignalWithPilots._cal_pilot_idx(frame_len, pilot_seq_len,
+                                                    pilot_ins_ratio)
+    Ndat = int(np.count_nonzero(idx_dat))
+    fr = mod_ratio[1] / (mod_ratio[0] + mod_ratio[1])
+    f_M = TDHQAMSymbols._cal_fractions(fr)[0]
+    N_data = -(-Ndat // f_M) * f_M  # round UP to whole hybrid frames
+    payload = TDHQAMSymbols((M[0], M[1]), N_data, fr=fr, nmodes=npols, **kwargs)
+    return SignalWithPilots.from_symbol_array(
+        payload, frame_len, pilot_seq_len, pilot_ins_ratio,
+        pilot_kwargs={"M": 4}), payload
 
 
 def sim_tx(frame, os, snr=None, modal_delay=None, freqoff=None, linewidth=None,

@@ -189,6 +189,28 @@ def cal_ber_syncd(data_rx, data_tx, threshold=0.2):
     return ber, errs, N
 
 
+def cal_ber_nosyncd(data_rx, data_tx):
+    """BER between an unsynchronised rx bit stream and a known tx sequence.
+
+    Parity: reference core/ber_functions.py:359-394 (whose body references an
+    undefined variable — fixed here): find the offset by correlation, trying
+    the inverted tx data if the sync fails, periodically extend tx to the rx
+    length, then count errors.
+    """
+    data_rx = np.asarray(data_rx).astype(bool)
+    data_tx = np.asarray(data_tx).astype(bool)
+    results = []
+    for tx in (data_tx, ~data_tx):
+        idx = int(find_sequence_offset(tx.astype(np.float32) - 0.5,
+                                       data_rx.astype(np.float32) - 0.5))
+        tx_sync = np.roll(tx, -idx)
+        tx_sync, rx = adjust_data_length(jnp.asarray(tx_sync), jnp.asarray(data_rx))
+        errs = int(jnp.count_nonzero(tx_sync != rx))
+        results.append((errs, tx_sync, rx))
+    errs, tx_sync, rx = min(results, key=lambda r: r[0])
+    return cal_ber_syncd(rx, tx_sync)
+
+
 def sync_rx2tx(data_tx, data_rx, Lsync, imax=200):
     """Sync rx to tx using a known sub-sequence search (reference core/ber_functions.py:163-201)."""
     data_tx_np = np.asarray(data_tx)

@@ -85,6 +85,10 @@ def set_mid_and_rescale(E, mid_pos=0, swing=1):
     return rescale_signal(set_mid_point(E, mid_pos), swing)
 
 
+# the reference spells this "resale" (helpers.py:110); keep that name working
+set_mid_and_resale = set_mid_and_rescale
+
+
 def get_center_shift_fac(E):
     """Shift factor that centers the signal (reference helpers.py:119-127)."""
     E = jnp.asarray(E)

@@ -834,6 +834,44 @@ class TDHQAMSymbols(Signal):
     def symbols_M2(self):
         return self._symbols_M2
 
+    @classmethod
+    def from_symbol_arrays(cls, syms_M1, syms_M2, fr, power_method="dist"):
+        """Build a TDHQAM signal by interleaving two existing symbol signals.
+
+        Parity: reference signals.py:1318-1366. ``fr`` is the fraction of M2
+        symbols over the total frame length; M2 is rescaled so constellation
+        points of both orders are equidistant ('dist' method).
+        """
+        assert syms_M1.ndim == 2 and syms_M2.ndim == 2, "input needs to have two dimensions"
+        assert syms_M1.shape[0] == syms_M2.shape[0], "Number of modes must be the same"
+        f_M, f_M1, f_M2 = cls._cal_fractions(fr)
+        scale = cls.calculate_power_ratio(np.asarray(syms_M1.coded_symbols),
+                                          np.asarray(syms_M2.coded_symbols), power_method)
+        s2 = np.asarray(syms_M2.samples) / np.sqrt(scale)
+        s1 = np.asarray(syms_M1.samples)
+        N1, N2 = s1.shape[1], s2.shape[1]
+        N = N1 + N2
+        nframes = N // f_M
+        assert N1 == nframes * f_M1 and N2 == nframes * f_M2, \
+            "symbol array lengths do not form whole TDHQAM frames for fr=%s" % fr
+        out = np.zeros((s1.shape[0], N), dtype=s1.dtype)
+        _, idx1, idx2 = cls._cal_symbol_idx(N, f_M, f_M1)
+        out[:, idx1] = s1
+        out[:, idx2] = s2
+        obj = object.__new__(cls)
+        obj.samples = jnp.asarray(out)
+        obj._symbols = obj.samples
+        obj._coded_symbols = None
+        obj._symbols_M1 = syms_M1
+        obj._symbols_M2 = syms_M2
+        obj._powratio = scale
+        obj._fr = fr
+        obj._fb = syms_M1.fb
+        obj._fs = syms_M1.fb
+        obj._M = (syms_M1.M, syms_M2.M)
+        obj._power_method = power_method
+        return obj
+
     def _divide_signal_frame(self, signal):
         """Split a received TDHQAM signal back into its M1/M2 streams.
 
@@ -1176,3 +1214,7 @@ class SignalWithPilots(Signal):
 
 # register the base class too (usable directly for raw waveforms)
 _sigclass(Signal)
+
+# reference-name alias: the reference's ndarray-subclass base is SignalBase
+# (qampy/signals.py:144); here the same role is played by the pytree Signal
+SignalBase = Signal

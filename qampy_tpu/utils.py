@@ -95,3 +95,35 @@ def convert_iqtosinglebitstream(idat, qdat, nbits):
     qdat_n = qdat[: len(qdat) - (len(qdat) % N[1])].reshape(N[1], -1)
     l = min(idat_n.shape[1], qdat_n.shape[1])
     return np.vstack([idat_n[:, :l], qdat_n[:, :l]]).flatten()
+
+
+def lfsr_int(seed, mask):
+    """Galois (internal-XOR) LFSR generator yielding (bit, state).
+
+    Parity: reference core/utils.py:56-85. Host-side generator used for
+    constructing short seed patterns; bulk PRBS generation goes through the
+    vectorised kernels in qampy_tpu.prbs.
+    """
+    state = int(seed)
+    nbits = int(mask).bit_length() - 1
+    while True:
+        state = state << 1
+        xor = state >> nbits
+        if xor != 0:
+            state ^= mask
+        yield xor, state
+
+
+def lfsr_ext(seed, taps, nbits):
+    """Fibonacci (external-XOR) LFSR generator yielding (bit, state).
+
+    Parity: reference core/utils.py:87-113.
+    """
+    sr = int(seed)
+    while True:
+        xor = 0
+        for t in taps:
+            if (sr & (1 << (nbits - t))) != 0:
+                xor ^= 1
+        sr = (xor << nbits - 1) + (sr >> 1)
+        yield xor, sr

@@ -148,3 +148,11 @@ class TestRealData:
         E = E.replace(samples=qhelpers.normalise_and_center(E.samples))
         gmi, _ = E.cal_gmi()
         assert np.all(gmi > 5.5)
+
+
+def test_set_mid_and_resale_reference_alias():
+    x = np.linspace(-2, 3, 64)[None, :]
+    out = helpers.set_mid_and_resale(x, mid_pos=0, swing=1)
+    assert helpers.set_mid_and_resale is helpers.set_mid_and_rescale
+    assert abs(float(np.max(np.asarray(out).real)) - 1) < 1e-6
+    assert abs(float(np.min(np.asarray(out).real)) + 1) < 1e-6

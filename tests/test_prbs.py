@@ -51,3 +51,19 @@ class TestPRBS:
         a = prbs.prbs_ext((1 << 15) - 1, (15, 14), 15, 10)
         b = _prbs_ext_loop((1 << 15) - 1, (15, 14), 15, 10)
         assert np.array_equal(a, b)
+
+
+class TestLFSRGenerators:
+    def test_lfsr_ext_matches_make_prbs(self):
+        from qampy_tpu import utils
+        g = utils.lfsr_ext(0b1011, [7, 6], 7)
+        bits = np.array([next(g)[0] for _ in range(200)], dtype=bool)
+        ref = np.asarray(prbs.make_prbs_extXOR(7, 200, 0b1011)).astype(bool)
+        assert np.array_equal(bits, ref)
+
+    def test_lfsr_int_period(self):
+        from qampy_tpu import utils
+        # x^7 + x + 1 over GF(2): maximal length 127
+        g = utils.lfsr_int(1, 0b10000011)
+        states = [next(g)[1] for _ in range(127)]
+        assert len(set(states)) == 127

@@ -256,3 +256,30 @@ class TestSignalContracts:
         s = qt.SignalQAMGrayCoded(64, 1000, nmodes=3, seed=26)
         assert s.bits.shape == (3, 6000)
         assert s.Nbits == 6
+
+
+class TestTDHQAMConstruction:
+    def test_from_symbol_arrays(self):
+        s1 = qt.SignalQAMGrayCoded(16, 1024, nmodes=2, seed=5)
+        s2 = qt.SignalQAMGrayCoded(64, 1024, nmodes=2, seed=6)
+        td = TDHQAMSymbols.from_symbol_arrays(s1, s2, 0.5)
+        assert td.shape == (2, 2048)
+        assert td.M == (16, 64)
+        assert td.symbols_M1 is s1
+        # interleaved content matches the sources at the frame positions
+        arr = np.asarray(td)
+        assert np.allclose(arr[:, 0::2], np.asarray(s1))
+
+    def test_hybrid_dataframe(self):
+        from qampy_tpu.core import pilotbased_transmitter as ptx
+        sig, payload = ptx.gen_dataframe_with_phasepilots_hybridmodulation(
+            M=(16, 64), mod_ratio=(1, 1), npols=2, frame_len=2 ** 12,
+            pilot_seq_len=256, pilot_ins_ratio=32, seed=7)
+        assert sig.frame_len == 2 ** 12
+        assert np.asarray(sig.pilot_seq).shape == (2, 256)
+        assert payload.M == (16, 64)
+
+
+def test_signalbase_alias():
+    from qampy_tpu.signals import SignalBase, Signal
+    assert SignalBase is Signal

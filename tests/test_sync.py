@@ -100,3 +100,22 @@ class TestSignalLevelSync:
         swapped = n.replace(samples=np.asarray(n)[::-1])
         ser = np.asarray(swapped.cal_ser())
         assert np.all(ser < 1e-3)
+
+
+class TestBerNosyncd:
+    def test_offset_and_errors(self):
+        rng = np.random.default_rng(0)
+        tx = rng.integers(0, 2, 5000).astype(bool)
+        rx = np.roll(tx, 137).copy()
+        flip = rng.choice(5000, 25, replace=False)
+        rx[flip] = ~rx[flip]
+        ber, errs, N = sync.cal_ber_nosyncd(rx, tx)
+        assert errs <= 27
+        assert ber < 0.01
+
+    def test_inverted_data(self):
+        rng = np.random.default_rng(1)
+        tx = rng.integers(0, 2, 4096).astype(bool)
+        rx = np.roll(~tx, 5)
+        ber, errs, N = sync.cal_ber_nosyncd(rx, tx)
+        assert ber == 0
