@@ -3,6 +3,8 @@
 Workload parity: reference Scripts/64_qam_equalisation.py (BASELINE.json
 config 2). Run: python examples/64_qam_equalisation.py
 """
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 import time
 import numpy as np
 import jax.random as jr

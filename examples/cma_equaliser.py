@@ -3,6 +3,8 @@
 Workload parity: reference Scripts/cma_equaliser.py (BASELINE.json config 1).
 Run: python examples/cma_equaliser.py
 """
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 import numpy as np
 import jax.random as jr
 import qampy_tpu as qt

@@ -6,6 +6,8 @@ exchange filtering + BPS. On a CPU host set
 XLA_FLAGS=--xla_force_host_platform_device_count=8 to simulate 8 devices.
 Run: python examples/multichip_scaling.py
 """
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 import numpy as np
 import jax
 import jax.random as jr

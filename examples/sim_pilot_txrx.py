@@ -3,6 +3,8 @@
 Workload parity: reference test/sim_pilot_txrx.py (BASELINE.json config 4/5).
 Run: python examples/sim_pilot_txrx.py
 """
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 import numpy as np
 import jax.random as jr
 import qampy_tpu as qt

@@ -1,4 +1,6 @@
 """Analytic BER/SER/GMI curves vs SNR (reference Scripts/ber_vs_evm*.py)."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 import numpy as np
 from qampy_tpu import theory
 
