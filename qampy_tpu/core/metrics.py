@@ -235,6 +235,7 @@ def cal_mi_mc(noise, symbols, N0):
     noise = jnp.asarray(noise)
     symbols = jnp.asarray(symbols)
     M = symbols.shape[0]
+    noise = noise.reshape(-1)
     diff = symbols[:, None] - symbols[None, :]  # (M_i, M_j)
     # exp(-(|d_ij|^2 + 2 Re(d_ij * z_l)) / N0), sum over j
     ex = -(cabssquared(diff)[:, None, :] +
@@ -250,9 +251,9 @@ def cal_mi_mc_fast(sig, sig_tx, symbols, N0):
     sig_tx = jnp.asarray(sig_tx)
     symbols = jnp.asarray(symbols)
     M = symbols.shape[0]
-    d = cabssquared(sig[:, None] - symbols[None, :])
+    d = cabssquared(sig[..., None] - symbols)
     d0 = cabssquared(sig - sig_tx)
-    tmp = jnp.sum(jnp.exp(-(d - d0[:, None]) / N0), axis=-1)
+    tmp = jnp.sum(jnp.exp(-(d - d0[..., None]) / N0), axis=-1)
     return np.log2(M) - jnp.mean(jnp.log2(tmp))
 
 

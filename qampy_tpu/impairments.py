@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from qampy_tpu.core import impairments as cimpairments
+# module-namespace parity with reference qampy/impairments.py:20
+from qampy_tpu.core.impairments import rotate_field, add_awgn, add_modal_delay as _core_add_modal_delay
 from qampy_tpu.signals import Signal, SignalWithPilots
 
 

@@ -23,14 +23,19 @@ from qampy_tpu import theory, helpers
 from qampy_tpu.prbs import make_prbs_extXOR
 from qampy_tpu.core import sync as ber_functions
 from qampy_tpu.core.metrics import (
-    make_decision as _core_make_decision,
+    make_decision,
     decision_idx,
-    estimate_snr as _core_estimate_snr,
+    estimate_snr,
     soft_l_value_demapper,
     soft_l_value_demapper_minmax,
     generate_bitmapping_mtx,
-    cal_mi as _core_cal_mi,
+    cal_mi,
 )
+
+# module-namespace parity with reference qampy/signals.py:48-49
+_core_make_decision = make_decision
+_core_estimate_snr = estimate_snr
+_core_cal_mi = cal_mi
 from qampy_tpu.core.io import save_signal
 
 
