@@ -118,11 +118,28 @@ def select_angles(angles, idx):
     return angles[0][idx]
 
 
+def _use_pallas_bps(grid, method):
+    """Pick the fused Pallas BPS kernel when eligible.
+
+    method=None ("auto") selects pallas on TPU for square-grid
+    constellations; method="pallas"/"pyt" forces/forbids it explicitly
+    ("pyt" is the reference's name for its default backend, mapped to the
+    XLA path here).
+    """
+    if method == "pallas":
+        return True
+    if method is not None:
+        return False
+    return grid is not None and jax.default_backend() not in ("cpu",)
+
+
 def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
     """Blind phase search after Pfau et al. (reference core/phaserecovery.py:93-159).
 
     Returns (Eout, ph): the derotated signal and the unwrapped phase. The
-    per-mode kernel calls are vmapped instead of looped.
+    per-mode kernel calls are vmapped instead of looped. On TPU with a
+    square-grid constellation the fused Pallas kernel
+    (ops/phase_pallas.bps_idx_pallas) is used automatically.
     """
     E = jnp.asarray(E)
     symbols = jnp.asarray(symbols)
@@ -131,7 +148,13 @@ def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
                           dtype=rdtype).reshape(1, -1)
     Ew = jnp.atleast_2d(E)
     grid = detect_square_grid(symbols)
-    idx = jax.vmap(lambda e: bps_idx(e, angles, symbols, N, grid=grid))(Ew)
+    if _use_pallas_bps(grid, method):
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        host_angles = np.linspace(-np.pi / 4, np.pi / 4, Mtestangles,
+                                  endpoint=False, dtype=np.float32)
+        idx = bps_idx_pallas(Ew, host_angles, grid, N)
+    else:
+        idx = jax.vmap(lambda e: bps_idx(e, angles, symbols, N, grid=grid))(Ew)
     ph = jax.vmap(lambda i: select_angles(angles, i))(idx)
     # ignore the phases outside the averaging window; unwrap the pi/2 ambiguity
     ph = ph.at[:, N:-N].set(jnp.unwrap(ph[:, N:-N] * 4, axis=-1) / 4)

@@ -1,0 +1,110 @@
+"""Fused Pallas TPU kernel for the blind-phase-search distance scan.
+
+The XLA formulation of BPS (ops/phase.py: bps_idx) materialises the
+(L, A) rotated-distance array, its cumulative sum and the windowed
+difference in HBM — >1 GB of traffic for L=2^20, A=64.  This kernel fuses
+rotation, nearest-symbol distance (analytic square-grid decision), the 2N
+running-window sum and the per-sample argmin into one VMEM-resident pass:
+HBM traffic drops to reading E once and writing the int32 index array.
+
+Layout: angles live on the sublane axis (A rows), time on the lane axis
+(T-sample tiles).  The running sum needs state across time tiles — the TPU
+grid executes sequentially, so a VMEM scratch carries the last 2N cumsum
+columns and the running total from tile to tile (reset when the mode grid
+index changes).
+
+Parity: reference qampy/core/pythran_dsp.py:47-85 (bps) + :26-42
+(select_angle_index); same edge semantics as ops/phase.bps_idx.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bps_kernel(T, N2, grid_const):
+    d0, lo, n = grid_const
+
+    def kernel(er_ref, ei_ref, cos_ref, sin_ref, out_ref, tail_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            tail_ref[:] = jnp.zeros_like(tail_ref)
+
+        er = er_ref[0]  # (1, T)
+        ei = ei_ref[0]
+        ca = cos_ref[:]  # (A, 1)
+        sa = sin_ref[:]
+        zr = er * ca - ei * sa  # (A, T)
+        zi = er * sa + ei * ca
+        qr = lo + d0 * jnp.clip(jnp.round((zr - lo) / d0), 0, n - 1)
+        qi = lo + d0 * jnp.clip(jnp.round((zi - lo) / d0), 0, n - 1)
+        dist = (zr - qr) ** 2 + (zi - qi) ** 2  # (A, T)
+        csum = jnp.cumsum(dist, axis=1)  # local cumsum only: stays O(T*dist)
+        # window sum ending at local i: csum[i] - csum[i-N2] within the tile;
+        # for i < N2 the lookback reaches the previous tile, supplied as the
+        # bounded suffix sums tail[k] = sum(dist_prev[T-N2+k+1 : T]) so no
+        # running total ever accumulates (full f32 precision at any L)
+        shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
+        win = csum - shifted
+        out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, :]
+        tail_ref[:] = csum[:, -1:] - csum[:, T - N2:]
+
+    return kernel
+
+
+def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=False):
+    """Square-grid BPS angle-index search as one fused Pallas kernel.
+
+    E: (nmodes, L) complex; testangles: (A,) shared angle grid, HOST-side
+    (numpy) — the rotation table is precomputed on host;
+    grid: (delta, lo, n) from ops.phase.detect_square_grid (required).
+    Returns int32 (nmodes, L) with the same semantics as ops.phase.bps_idx
+    (positions [N, L-N) filled, others 0). Jit-compatible in E (trace this
+    inside an outer jit); testangles/grid/N/T are trace-time constants.
+    """
+    E = jnp.asarray(E)
+    nmodes, L = E.shape
+    A = int(np.asarray(testangles).size)
+    N2 = 2 * N
+    assert grid is not None, "pallas BPS needs a square-grid constellation"
+    assert N2 < T, "window must fit in one tile"
+    pad = (-L) % T
+    Lp = L + pad
+    nchunks = Lp // T
+    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, T)
+    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, T)
+    ang = np.asarray(testangles, dtype=np.float32).reshape(A, 1)
+    cos_a = jnp.asarray(np.cos(ang))
+    sin_a = jnp.asarray(np.sin(ang))
+
+    kernel = _bps_kernel(T, N2, grid)
+    raw = pl.pallas_call(
+        kernel,
+        grid=(nmodes, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, T), lambda m, c: (m, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda m, c: (m, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, T), lambda m, c: (m, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, T), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((A, N2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(er, ei, cos_a, sin_a)
+    raw = raw.reshape(nmodes, Lp)[:, :L]
+    # raw[i] = argmin of the window ending at i; reference writes it to
+    # position i - N for i in [N2, L) and leaves the rest at 0
+    idx = jnp.zeros((nmodes, L), dtype=jnp.int32)
+    return idx.at[:, N: L - N].set(raw[:, N2:])

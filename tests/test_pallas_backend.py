@@ -43,3 +43,54 @@ class TestPallasParity:
         with pytest.raises(AssertionError):
             train_equaliser_pallas(field, 100, 1, 2, 1e-3, w0, syms, "sbd",
                                    interpret=True)
+
+
+class TestPallasBPS:
+    """Fused Pallas BPS kernel vs the XLA formulation (interpret mode)."""
+
+    def _setup(self, rng, M=64, L=3000, lw=0.1):
+        import jax.numpy as jnp
+        from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+        from qampy_tpu.ops import phase as phops
+        const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
+        grid = phops.detect_square_grid(const)
+        ph = np.cumsum(rng.normal(0, lw / np.sqrt(L), (2, L)), axis=-1)
+        E = (const[rng.integers(0, M, (2, L))] * np.exp(1j * ph)
+             + .01 * (rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L)))
+             ).astype(np.complex64)
+        return const, grid, E
+
+    @pytest.mark.parametrize("T,A,N", [(512, 64, 14), (256, 32, 8), (1024, 64, 10)])
+    def test_matches_xla_idx(self, rng, T, A, N):
+        import jax
+        import jax.numpy as jnp
+        from qampy_tpu.ops import phase as phops
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        const, grid, E = self._setup(rng)
+        angles = np.linspace(-np.pi / 4, np.pi / 4, A, endpoint=False, dtype=np.float32)
+        ref = np.asarray(jax.vmap(
+            lambda e: phops.bps_idx(e, angles.reshape(1, -1), jnp.asarray(const),
+                                    N, grid=grid))(jnp.asarray(E)))
+        got = np.asarray(bps_idx_pallas(E, angles, grid, N, T=T, interpret=True))
+        # identical except rare near-tie argmin flips between adjacent angles
+        mism = ref != got
+        assert mism.mean() < 2e-3
+        if mism.any():
+            assert np.abs(ref.astype(int) - got.astype(int))[mism].max() <= 1
+
+    def test_bps_method_dispatch(self, rng):
+        """bps(method='pallas') equals bps(method='pyt') on recovered phase."""
+        import jax
+        from qampy_tpu.ops import phase as phops
+        from qampy_tpu.ops import phase_pallas as ppal
+        const, grid, E = self._setup(rng, L=2048)
+        # interpret mode on CPU: patch the kernel entry
+        orig = ppal.bps_idx_pallas
+        try:
+            ppal.bps_idx_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+            out_p, ph_p = phops.bps(E, 32, const, 8, method="pallas")
+        finally:
+            ppal.bps_idx_pallas = orig
+        out_x, ph_x = phops.bps(E, 32, const, 8, method="pyt")
+        valid = np.s_[:, 16:-16]
+        assert np.allclose(np.asarray(ph_p)[valid], np.asarray(ph_x)[valid], atol=0.06)
