@@ -5,10 +5,12 @@ CMA -> RDE adaptive 2x2 MIMO equalisation + blind phase search, end-to-end.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the driver-set north star of 100 Msym/s/chip.
 
-Platform note: on the axon TPU tunnel, complex arrays must stay inside jit
-and only real arrays may cross the device->host boundary; the TX signal is
-therefore synthesised host-side (numpy) and the whole RX chain is one jitted
-program returning float32 metrics.
+Platform note: on the axon TPU tunnel, complex arrays must NEVER cross the
+host<->device boundary in either direction — a single complex device_put
+(any size) poisons the session: every later execution or transfer returns
+UNIMPLEMENTED (verified empirically with tools/probe_d2h*.py). The TX signal
+is synthesised host-side (numpy), shipped as separate real/imag float32
+planes, and recombined inside jit; all fetched results are float32.
 """
 import json
 import sys
@@ -105,10 +107,11 @@ def main():
     d0, lo, n = float(levels[1] - levels[0]), float(levels[0]), int(levels.size)
 
     @jax.jit
-    def gate(out, ref):
-        # the axon tunnel cannot transfer large/complex buffers to host, so
-        # the whole correctness gate runs on device: SER against tx symbols,
+    def gate(out, refr, refi):
+        # the axon tunnel cannot transfer complex buffers at all, so the
+        # whole correctness gate runs on device: SER against tx symbols,
         # minimised over pi/2 rotation x pol pairing x taps-centre offset
+        ref = refr + 1j * refi
         o = out[:, 200:-200]
 
         def decide(z):
@@ -132,15 +135,22 @@ def main():
             sers.append(jnp.min(jnp.stack(cand)))
         return jnp.mean(jnp.stack(sers))
 
-    E = jax.device_put(E_np)
-    ref = jax.device_put(syms_np)
+    # complex h2d poisons the tunnel: ship real/imag planes separately
+    Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
+    Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
+    refr = jax.device_put(np.ascontiguousarray(syms_np.real).astype(np.float32))
+    refi = jax.device_put(np.ascontiguousarray(syms_np.imag).astype(np.float32))
     if "--single" in sys.argv:
         block_size = int(sys.argv[sys.argv.index("--single") + 1])
         trs = int(sys.argv[sys.argv.index("--single") + 2])
     else:
         block_size, trs = 256, 2 ** 16
-    fwd = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
-                       block_size=block_size, TrSyms=trs or None)
+    fwd_c = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
+                         block_size=block_size, TrSyms=trs or None)
+
+    def fwd(er, ei):
+        return fwd_c(er + 1j * ei)
+
     chain = jax.jit(fwd)
     print("compiling chain (bs=%d trs=%d)..." % (block_size, trs),
           file=sys.stderr, flush=True)
@@ -148,7 +158,7 @@ def main():
     # retry in-process (the compilation cache makes retries cheap)
     for attempt in range(5):
         try:
-            out = jax.block_until_ready(chain(E))
+            out = jax.block_until_ready(chain(Er, Ei))
             break
         except Exception as e:
             print("chain attempt %d failed: %s" % (attempt, str(e)[:150]),
@@ -157,7 +167,7 @@ def main():
     else:
         raise RuntimeError("chain execution failed after retries")
     print("chain done, compiling gate...", file=sys.stderr, flush=True)
-    best = float(fetch(jax.block_until_ready(gate(out, ref)), "gate"))
+    best = float(fetch(jax.block_until_ready(gate(out, refr, refi)), "gate"))
     print("gate done", file=sys.stderr, flush=True)
 
     # --- timing ---
@@ -168,10 +178,10 @@ def main():
     REPS = 10
 
     @jax.jit
-    def timed(E, s0):
+    def timed(er, ei, s0):
         def body(i, carry):
-            scale = 1 + 1e-6 * carry
-            o = fwd(E * scale.astype(E.dtype))
+            scale = (1 + 1e-6 * carry).astype(jnp.float32)
+            o = fwd(er * scale, ei * scale)
             return jnp.mean(jnp.abs(o)).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, REPS, body, s0)
@@ -180,13 +190,13 @@ def main():
     def noop(s0):
         return s0 + 1
 
-    fetch(jax.block_until_ready(timed(E, jnp.float32(0.))), "timed-compile")
+    fetch(jax.block_until_ready(timed(Er, Ei, jnp.float32(0.))), "timed-compile")
     # fetch overhead baseline
     t0 = time.perf_counter()
     fetch(noop(jnp.float32(1.)), "noop")
     t_fetch = time.perf_counter() - t0
     t0 = time.perf_counter()
-    fetch(timed(E, jnp.float32(1.)), "timed")
+    fetch(timed(Er, Ei, jnp.float32(1.)), "timed")
     dt = max(time.perf_counter() - t0 - t_fetch, 1e-9) / REPS
     print("per-chain %.2f ms (fetch baseline %.1f ms)" % (dt * 1e3, t_fetch * 1e3),
           file=sys.stderr, flush=True)

@@ -601,3 +601,8 @@ def CDcomp(E, fs, N, L, D, wl):
             sigEQ = sigEQ.at[i * n: i * n + n + 2 * zp].add(sigB[i])
         sigEQ = sigEQ[zp:-zp]
     return sigEQ, H
+
+
+# Reference keeps a pure-python apply_filter variant (core/equalisation/
+# equalisation.py apply_filter_py); here there is one backend only.
+apply_filter_py = apply_filter

@@ -288,3 +288,10 @@ def comp_freq_offset(sig, freq_offset, os=1):
     if ndim == 1:
         return out.flatten()
     return out
+
+
+# Reference exposes per-backend BPS entry points (core/phaserecovery.py:
+# bps_af for ArrayFire, bps_pyx for Cython). On TPU there is a single XLA/
+# Pallas backend; keep the names callable for drop-in compatibility.
+bps_af = bps
+bps_pyx = bps
