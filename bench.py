@@ -171,35 +171,41 @@ def main():
     print("gate done", file=sys.stderr, flush=True)
 
     # --- timing ---
-    # async dispatch + possible relay-side memoization make naive rep loops
-    # unreliable; instead run REPS chained executions inside ONE program
-    # (each iteration's input depends on the previous iteration's output so
-    # nothing can be elided) and synchronise with a scalar d2h fetch.
-    REPS = 10
+    # Tunnel semantics (established with tools/probe_timing.py):
+    # block_until_ready returns IMMEDIATELY (fully async relay) — only a
+    # value fetch marks true completion. And the relay memoizes identical
+    # (program, inputs) executions. Protocol: two programs that chain
+    # REPS_A and REPS_B data-dependent executions of the chain, each warmed
+    # by a full fetch (forces compile + one run), then fetch-timed with
+    # fresh seeds; the difference cancels fetch/dispatch overhead:
+    #   dt = (t_B - t_A) / (REPS_B - REPS_A)
+    REPS_A, REPS_B = 5, 45
 
-    @jax.jit
-    def timed(er, ei, s0):
-        def body(i, carry):
-            scale = (1 + 1e-6 * carry).astype(jnp.float32)
-            o = fwd(er * scale, ei * scale)
-            return jnp.mean(jnp.abs(o)).astype(jnp.float32)
+    def make_timed(reps):
+        @jax.jit
+        def timed(er, ei, s0):
+            def body(i, carry):
+                scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                o = fwd(er * scale, ei * scale)
+                return jnp.mean(jnp.abs(o)).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, REPS, body, s0)
+            return jax.lax.fori_loop(0, reps, body, s0)
+        return timed
 
-    @jax.jit
-    def noop(s0):
-        return s0 + 1
+    timedA, timedB = make_timed(REPS_A), make_timed(REPS_B)
+    fetch(timedA(Er, Ei, jnp.float32(0.)), "warmA")   # compile + full run
+    fetch(timedB(Er, Ei, jnp.float32(0.5)), "warmB")
 
-    fetch(jax.block_until_ready(timed(Er, Ei, jnp.float32(0.))), "timed-compile")
-    # fetch overhead baseline
-    t0 = time.perf_counter()
-    fetch(noop(jnp.float32(1.)), "noop")
-    t_fetch = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fetch(timed(Er, Ei, jnp.float32(1.)), "timed")
-    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9) / REPS
-    print("per-chain %.2f ms (fetch baseline %.1f ms)" % (dt * 1e3, t_fetch * 1e3),
-          file=sys.stderr, flush=True)
+    def run(f, seed):
+        t0 = time.perf_counter()
+        fetch(f(Er, Ei, jnp.float32(seed)), "timed")
+        return time.perf_counter() - t0
+
+    tA = min(run(timedA, 1.0), run(timedA, 2.0))
+    tB = min(run(timedB, 3.0), run(timedB, 4.0))
+    dt = max(tB - tA, 1e-9) / (REPS_B - REPS_A)
+    print("per-chain %.2f ms (tA=%.0f ms tB=%.0f ms)" %
+          (dt * 1e3, tA * 1e3, tB * 1e3), file=sys.stderr, flush=True)
     msym_s = Nsym * 2 / dt / 1e6  # dual-pol: 2 modes x Nsym symbols each
     result = {
         "metric": "dual-pol 64-QAM CMA->RDE->BPS end-to-end throughput (SER=%.1e)" % best,
