@@ -59,11 +59,15 @@ _ERRFNS = {"cma": _cma_err, "sgncma": _cma_err, "mcma": _mcma_err, "rde": _rde_e
 @partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive",
                                    "interpret"))
 def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
-                           adaptive=False, real_valued=False, interpret=False):
+                           adaptive=False, real_valued=False, interpret=None):
     """Sequential LMS training as a single fused Pallas kernel.
 
     Same contract as train_equaliser_seq; returns (err_zeros, wx_out, mu_out).
+    interpret=None auto-selects interpreter mode on the CPU backend.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
     assert method in PALLAS_METHODS, \
         "pallas backend implements %s" % (PALLAS_METHODS,)
     E = jnp.asarray(E)
@@ -84,13 +88,14 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
                wr_out, wi_out, mu_out):
         wr_out[:] = wr0_ref[:]
         wi_out[:] = wi0_ref[:]
-        mu_out[:] = mu_ref[:]
+        for m in range(nout):  # SMEM takes scalar stores only
+            mu_out[m, 0] = mu_ref[m, 0]
 
         def step(i, ep):
             tr = i % TrSyms
             xr = er_ref[:, pl.ds(tr * os, ntaps)]  # (nmodes, ntaps)
             xi = ei_ref[:, pl.ds(tr * os, ntaps)]
-            new_ep = ep
+            errs = []
             for m in range(nout):  # static unroll over output modes
                 wr = wr_out[m]
                 wi = wi_out[m]
@@ -107,8 +112,9 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
                     e2 = er * er + ei2 * ei2
                     mu_new = jnp.where(keep, mu_c, mu_c / (1 + mu_c * e2))
                     mu_out[m, 0] = jnp.where(tr > 0, mu_new, mu_c)
-                new_ep = new_ep.at[m, 0].set(er).at[m, 1].set(ei2)
-            return new_ep
+                errs.append(jnp.stack([er, ei2]))
+            # rebuild the carry by stacking (scatter has no TPU lowering)
+            return jnp.stack(errs)
 
         lax.fori_loop(0, Niter * TrSyms, step, jnp.zeros((nout, 2), dtype=rdtype))
 
@@ -119,12 +125,185 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
             jax.ShapeDtypeStruct((nout, nmodes, ntaps), rdtype),
             jax.ShapeDtypeStruct((nout, 1), rdtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        # mu is read and stored per-scalar inside the loop: SMEM (VMEM
+        # cannot take scalar stores on TPU)
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=interpret,
     )(E.real.astype(rdtype), E.imag.astype(rdtype),
       symbols.real.astype(rdtype), symbols.imag.astype(rdtype), mu0,
       wx.real.astype(rdtype), wx.imag.astype(rdtype))
     wout = (wr + 1j * wi).astype(E.dtype)
     err = jnp.zeros((nout, TrSyms * Niter), dtype=E.dtype)
+    return err, wout, mu_f[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# fused block-LMS trainer
+# ---------------------------------------------------------------------------
+# Same math as ops/equaliser.train_equaliser_block (block-frozen taps, rank-S
+# MXU update, exact aggregated adaptive-stepsize rule) but the whole
+# sequential loop over blocks runs as ONE Pallas grid: the taps and stepsize
+# live in VMEM output refs across the (sequential) TPU grid steps, so each
+# block costs two small matmuls with no per-step dispatch or HBM round-trip
+# of the carry. The training windows are pre-gathered once in XLA.
+
+def _block_err_cma(zr, zi, sr, si, ncode, m):
+    d = sr[m, 0] - (zr * zr + zi * zi)
+    return d * zr, d * zi
+
+
+def _block_err_mcma(zr, zi, sr, si, ncode, m):
+    dr = sr[m, 0] - zr * zr
+    di = si[m, 0] - zi * zi
+    return dr * zr, di * zi
+
+
+def _block_err_rde(zr, zi, sr, si, ncode, m):
+    sq = zr * zr + zi * zi
+    # codebook walk instead of a vector gather: r = code[0] + sum_k
+    # (sq > part[k]) * (code[k+1] - code[k]); ncode-1 static steps
+    r = jnp.full_like(sq, 0.) + sr[m, 0]
+    for k in range(ncode - 1):
+        r = r + jnp.where(sq > sr[m, ncode + k], sr[m, k + 1] - sr[m, k], 0.)
+    d = r - sq
+    return d * zr, d * zi
+
+
+_BLOCK_ERRFNS = {"cma": _block_err_cma, "sgncma": _block_err_cma,
+                 "mcma": _block_err_mcma, "rde": _block_err_rde}
+
+#: methods implemented by the fused block trainer
+PALLAS_BLOCK_METHODS = tuple(_BLOCK_ERRFNS)
+
+
+@partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive",
+                                   "real_valued", "block_size", "interpret"))
+def train_equaliser_block_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
+                                 adaptive=False, real_valued=False,
+                                 block_size=256, interpret=None):
+    """Block-LMS training fused into one Pallas program.
+
+    Same contract and math as ops/equaliser.train_equaliser_block; complex
+    methods cma/sgncma/mcma/rde only. Returns (err, wx_out, mu_out).
+    interpret=None auto-selects interpreter mode on the CPU backend.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    assert not real_valued, "pallas block trainer implements complex methods"
+    assert method in _BLOCK_ERRFNS, \
+        "pallas block trainer implements %s" % (PALLAS_BLOCK_METHODS,)
+    E = jnp.asarray(E)
+    wx = jnp.asarray(wx)
+    symbols = jnp.asarray(symbols)
+    nmodes = E.shape[0]
+    nout, _, ntaps = wx.shape
+    S = min(int(block_size), int(TrSyms))
+    nblocks = int(TrSyms) // S
+    nsteps = int(Niter) * nblocks
+    K = nmodes * ntaps
+    ncode = (symbols.shape[-1] + 1) // 2 if method == "rde" else symbols.shape[-1]
+    rdtype = jnp.float32
+    errfn = _BLOCK_ERRFNS[method]
+
+    # pre-gather all training windows once as ntaps strided slices (a real
+    # gather costs ~10 ms on TPU for 2^16 windows; slices are free):
+    # Xw[b*S+s, m*ntaps+t] = E[m, (b*S+s)*os + t]
+    Ts = nblocks * S
+    cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os + 1), (1, os))
+            for t in range(ntaps)]  # each (nmodes, Ts)
+    Xw = jnp.moveaxis(jnp.stack(cols, axis=-1), 0, 1).reshape(nblocks, S, K)
+
+    def kernel(xr_ref, xi_ref, sr_ref, si_ref, mu0_ref, wr0_ref, wi0_ref,
+               wr_out, wi_out, mu_out, err_r_out, err_i_out, prev_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            wr_out[:] = wr0_ref[:]
+            wi_out[:] = wi0_ref[:]
+            mu_out[:] = mu0_ref[:]
+            prev_ref[:] = jnp.zeros_like(prev_ref)
+
+        xr = xr_ref[0]  # (S, K)
+        xi = xi_ref[0]
+        wr = wr_out[:]  # (nout, K)
+        wi = wi_out[:]
+        # Xest = X @ W^T (complex, split planes)
+        zr = (jnp.dot(xr, wr.T, preferred_element_type=rdtype)
+              - jnp.dot(xi, wi.T, preferred_element_type=rdtype))  # (S, nout)
+        zi = (jnp.dot(xr, wi.T, preferred_element_type=rdtype)
+              + jnp.dot(xi, wr.T, preferred_element_type=rdtype))
+        ers, eis = [], []
+        for m in range(nout):  # static unroll over output modes
+            er_m, ei_m = errfn(zr[:, m], zi[:, m], sr_ref, si_ref, ncode, m)
+            ers.append(er_m)
+            eis.append(ei_m)
+        er = jnp.stack(ers, axis=1)  # (S, nout)
+        ei = jnp.stack(eis, axis=1)
+        err_r_out[0] = er.T
+        err_i_out[0] = ei.T
+        mu_c = mu_out[:, 0]  # (nout,)
+        ger = er * mu_c[None, :]
+        gei = ei * mu_c[None, :]
+        # dW = (mu*err) @ conj(X): re = er@xr + ei@xi, im = ei@xr - er@xi
+        wr_out[:] = wr + (jnp.dot(ger.T, xr, preferred_element_type=rdtype)
+                          + jnp.dot(gei.T, xi, preferred_element_type=rdtype))
+        wi_out[:] = wi + (jnp.dot(gei.T, xr, preferred_element_type=rdtype)
+                          - jnp.dot(ger.T, xi, preferred_element_type=rdtype))
+        if adaptive:
+            # aggregated reference rule: 1/mu += e^2 over sign-flip samples
+            pr = jnp.concatenate([prev_ref[0:1, :], er[:-1, :]], axis=0)
+            pi = jnp.concatenate([prev_ref[1:2, :], ei[:-1, :]], axis=0)
+            flip = jnp.logical_not(jnp.logical_and(er * pr > 0, ei * pi > 0))
+            e2 = er * er + ei * ei
+            inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2, 0.), axis=0)
+            mu_out[:] = (1.0 / inv)[:, None]
+            # static slices: negative/int indexing lowers to dynamic_slice,
+            # which the TPU Pallas backend does not implement
+            prev_ref[0:1, :] = er[S - 1: S, :]
+            prev_ref[1:2, :] = ei[S - 1: S, :]
+
+    blk_map = lambda b: (b % nblocks, 0, 0)
+    wr, wi, mu_f, err_r, err_i = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, S, K), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, K), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nout, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nout, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nout, K), rdtype),
+            jax.ShapeDtypeStruct((nout, K), rdtype),
+            jax.ShapeDtypeStruct((nout, 1), rdtype),
+            jax.ShapeDtypeStruct((nsteps, nout, S), rdtype),
+            jax.ShapeDtypeStruct((nsteps, nout, S), rdtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, nout), rdtype)],
+        interpret=interpret,
+    )(Xw.real.astype(rdtype), Xw.imag.astype(rdtype),
+      symbols.real.astype(rdtype), symbols.imag.astype(rdtype),
+      jnp.full((nout, 1), mu, dtype=rdtype),
+      wx.real.reshape(nout, K).astype(rdtype),
+      wx.imag.reshape(nout, K).astype(rdtype))
+    wout = (wr + 1j * wi).reshape(nout, nmodes, ntaps).astype(E.dtype)
+    err = (jnp.moveaxis(err_r, 0, 1).reshape(nout, -1)
+           + 1j * jnp.moveaxis(err_i, 0, 1).reshape(nout, -1)).astype(E.dtype)
     return err, wout, mu_f[:, 0]

@@ -155,7 +155,9 @@ def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
         idx = bps_idx_pallas(Ew, host_angles, grid, N)
     else:
         idx = jax.vmap(lambda e: bps_idx(e, angles, symbols, N, grid=grid))(Ew)
-    ph = jax.vmap(lambda i: select_angles(angles, i))(idx)
+    # the angle grid is affine, so the per-sample angle is index arithmetic —
+    # a table gather here costs ~15 ms for 2^20 samples on TPU
+    ph = (-np.pi / 4) + (np.pi / 2 / Mtestangles) * idx.astype(rdtype)
     # ignore the phases outside the averaging window; unwrap the pi/2 ambiguity
     ph = ph.at[:, N:-N].set(jnp.unwrap(ph[:, N:-N] * 4, axis=-1) / 4)
     out = Ew * jnp.exp(1.j * ph).astype(Ew.dtype)

@@ -38,8 +38,8 @@ def _bps_kernel(T, N2, grid_const):
         def _():
             tail_ref[:] = jnp.zeros_like(tail_ref)
 
-        er = er_ref[0]  # (1, T)
-        ei = ei_ref[0]
+        er = er_ref[0, 0]  # (1, T)
+        ei = ei_ref[0, 0]
         ca = cos_ref[:]  # (A, 1)
         sa = sin_ref[:]
         zr = er * ca - ei * sa  # (A, T)
@@ -47,20 +47,28 @@ def _bps_kernel(T, N2, grid_const):
         qr = lo + d0 * jnp.clip(jnp.round((zr - lo) / d0), 0, n - 1)
         qi = lo + d0 * jnp.clip(jnp.round((zi - lo) / d0), 0, n - 1)
         dist = (zr - qr) ** 2 + (zi - qi) ** 2  # (A, T)
-        csum = jnp.cumsum(dist, axis=1)  # local cumsum only: stays O(T*dist)
+        # local cumsum along lanes via log2(T) shifted adds (jnp.cumsum has
+        # no TPU Pallas lowering)
+        csum = dist
+        sh = 1
+        while sh < T:
+            csum = csum + jnp.concatenate(
+                [jnp.zeros((csum.shape[0], sh), csum.dtype), csum[:, : T - sh]],
+                axis=1)
+            sh *= 2
         # window sum ending at local i: csum[i] - csum[i-N2] within the tile;
         # for i < N2 the lookback reaches the previous tile, supplied as the
         # bounded suffix sums tail[k] = sum(dist_prev[T-N2+k+1 : T]) so no
         # running total ever accumulates (full f32 precision at any L)
         shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
         win = csum - shifted
-        out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, :]
-        tail_ref[:] = csum[:, -1:] - csum[:, T - N2:]
+        out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
+        tail_ref[:] = csum[:, T - 1: T] - csum[:, T - N2:]
 
     return kernel
 
 
-def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=False):
+def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
     """Square-grid BPS angle-index search as one fused Pallas kernel.
 
     E: (nmodes, L) complex; testangles: (A,) shared angle grid, HOST-side
@@ -70,6 +78,8 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=False):
     (positions [N, L-N) filled, others 0). Jit-compatible in E (trace this
     inside an outer jit); testangles/grid/N/T are trace-time constants.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     E = jnp.asarray(E)
     nmodes, L = E.shape
     A = int(np.asarray(testangles).size)
@@ -79,8 +89,10 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=False):
     pad = (-L) % T
     Lp = L + pad
     nchunks = Lp // T
-    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, T)
-    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, T)
+    # the singleton axis before the lane axis satisfies the TPU block-shape
+    # rule (last two block dims divisible by (8, 128) or equal to the array's)
+    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
+    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
     ang = np.asarray(testangles, dtype=np.float32).reshape(A, 1)
     cos_a = jnp.asarray(np.cos(ang))
     sin_a = jnp.asarray(np.sin(ang))
@@ -90,14 +102,14 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=False):
         kernel,
         grid=(nmodes, nchunks),
         in_specs=[
-            pl.BlockSpec((1, 1, T), lambda m, c: (m, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), lambda m, c: (m, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((A, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((A, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, T), lambda m, c: (m, c, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, T), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((A, N2), jnp.float32),
         ],

@@ -94,3 +94,64 @@ class TestPallasBPS:
         out_x, ph_x = phops.bps(E, 32, const, 8, method="pyt")
         valid = np.s_[:, 16:-16]
         assert np.allclose(np.asarray(ph_p)[valid], np.asarray(ph_x)[valid], atol=0.06)
+
+
+class TestPallasBlockTrainer:
+    """Fused block-LMS Pallas kernel vs the XLA block trainer (interpret)."""
+
+    @pytest.mark.parametrize("method", ["cma", "mcma", "rde"])
+    @pytest.mark.parametrize("adaptive", [False, True])
+    def test_matches_block_backend(self, field, method, adaptive):
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+        w0 = eqops._init_taps(11, 2, 2, np.complex64)
+        syms = eqops._reshape_symbols(None, method, 16, np.complex64, 2)
+        err_b, w_b, mu_b = eqops.train_equaliser_block(
+            field, 1024, 2, 2, 1e-3, w0, syms, method, adaptive=adaptive,
+            block_size=128)
+        err_p, w_p, mu_p = train_equaliser_block_pallas(
+            field, 1024, 2, 2, 1e-3, w0, syms, method, adaptive=adaptive,
+            block_size=128, interpret=True)
+        assert np.allclose(np.asarray(w_b), np.asarray(w_p), atol=1e-4)
+        assert np.allclose(np.asarray(mu_b), np.asarray(mu_p), atol=1e-6)
+        assert np.allclose(np.asarray(err_b), np.asarray(err_p), atol=1e-3)
+
+    def test_via_equalise_signal_backend(self, field):
+        """backend='pallas_block' plugs into the public driver."""
+        wxy, err = eqops.equalise_signal(field, 2, 1e-3, 16, Ntaps=11,
+                                         TrSyms=512, method="cma",
+                                         backend="pallas_block", block_size=64)
+        wxy2, err2 = eqops.equalise_signal(field, 2, 1e-3, 16, Ntaps=11,
+                                           TrSyms=512, method="cma",
+                                           backend="block", block_size=64)
+        assert np.allclose(np.asarray(wxy), np.asarray(wxy2), atol=1e-4)
+
+
+class TestMXUFilterFormulation:
+    """apply_filter_to_signal (polyphase one-hot matmul) vs direct windows."""
+
+    @pytest.mark.parametrize("os", [1, 2])
+    @pytest.mark.parametrize("ntaps", [11, 17])
+    def test_matches_direct(self, rng, os, ntaps):
+        E = (rng.standard_normal((2, 3000)) +
+             1j * rng.standard_normal((2, 3000))).astype(np.complex64)
+        wx = (rng.standard_normal((2, 2, ntaps)) +
+              1j * rng.standard_normal((2, 2, ntaps))).astype(np.complex64) * 0.1
+        got = np.asarray(eqops.apply_filter_to_signal(E, os, wx))
+        Lout = (E.shape[-1] - ntaps) // os + 1
+        want = np.zeros((2, Lout), np.complex64)
+        for j in range(2):
+            for i in range(Lout):
+                want[j, i] = np.sum(E[:, i * os: i * os + ntaps] * wx[j])
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=2e-4)
+
+    def test_real_valued(self, rng):
+        E = rng.standard_normal((4, 2000)).astype(np.float32)
+        wx = rng.standard_normal((4, 4, 9)).astype(np.float32) * 0.1
+        got = np.asarray(eqops.apply_filter_to_signal(E, 2, wx))
+        Lout = (2000 - 9) // 2 + 1
+        want = np.zeros((4, Lout), np.float32)
+        for j in range(4):
+            for i in range(Lout):
+                want[j, i] = np.sum(E[:, i * 2: i * 2 + 9] * wx[j])
+        assert np.allclose(got, want, atol=2e-4)
