@@ -17,8 +17,9 @@ exists in two TPU-native forms:
   magnitude faster on TPU.
 
 The filter application (reference pythran_equalisation.py:37-76, OpenMP
-collapse(2)) is a strided complex convolution built from real
-``lax.conv_general_dilated`` calls (3-multiplication Karatsuba form).
+collapse(2)) is a strided complex convolution restructured as ONE
+grouped-shift im2col matmul that fills the MXU's 128 rows (see
+apply_filter_to_signal).
 
 All equaliser methods of the reference registry
 (core/equalisation/equalisation.py:86-99) are implemented, including the
@@ -390,22 +391,10 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
 # filter application — strided complex convolution on the MXU
 # ---------------------------------------------------------------------------
 
-def _poly_downsample(rows, os, ntile, T):
-    """Polyphase split of full-rate rows via a one-hot selection matmul.
-
-    On TPU a strided slice ``x[:, p::os]`` costs ~11 ms for 2^21 samples (it
-    delanifies); the same deinterleave as a (os*T, T) one-hot matmul over
-    T-sample tiles rides the MXU in ~0.1 ms. Returns [rows[:, p::os][...,
-    :ntile*T] for p in range(os)].
-    """
-    n = rows.shape[0]
-    sel = jnp.zeros((os * T, T), rows.dtype).at[os * jnp.arange(T), jnp.arange(T)].set(1)
-    outs = []
-    for p in range(os):
-        tiles = rows[:, p: p + ntile * os * T].reshape(n, ntile, os * T)
-        outs.append(jnp.matmul(tiles, sel,
-                               precision=lax.Precision.HIGHEST).reshape(n, -1))
-    return outs
+#: matmul precision for the filter contraction. HIGHEST (6-pass bf16) is
+#: bit-exact f32; HIGH (3-pass) carries ~2^-22 relative error — far below
+#: every decision threshold — at half the MXU cost.
+_FILTER_PRECISION = lax.Precision.HIGH
 
 
 @partial(jax.jit, static_argnames=("os",))
@@ -415,12 +404,19 @@ def apply_filter_to_signal(E, os, wx):
     Parity: reference pythran_equalisation.py:37-76 —
     ``out[j, i] = sum_{k,t} E[k, i*os+t] * wx[j, k, t]`` (cross-correlation).
 
-    TPU-first formulation: the strided complex convolution is restructured
-    as (1) polyphase deinterleave by one-hot matmul (downsampling commutes
-    with the tap contraction), (2) a symbol-rate stack of ntaps unit-stride
-    shifted planes, (3) ONE real matmul contracting all taps x input modes x
-    re/im planes onto the MXU. ~4.5x faster than conv_general_dilated on
-    TPU for the flagship shapes and exact in float32.
+    TPU-first formulation (grouped-shift im2col): write the output index as
+    i = c*G + g and bake the G in-group shifts into the weight matrix —
+    W2[(q,g),(p,tau)] = Wcat[q,p,tau-g*os].  One real matmul then computes
+    all taps x modes x re/im planes x G shifts:
+
+        out2[(q,g), c] = sum_{p,tau} W2[(q,g),(p,tau)] * planes[p, c*G*os+tau]
+
+    With G = 128 // nplanes_out the matmul M dimension fills the MXU's 128
+    rows, K = nplanes*((G-1)*os+ntaps), and the im2col operand A2 is built
+    from plain reshapes + one minor-dim transpose (no strided slices, which
+    delanify on TPU, and no ntaps-fold shifted-copy blowup in HBM: the
+    previous formulation moved ~18x the signal size; this one moves ~2x).
+    Exact in float32 (HIGHEST-precision matmul).
     """
     E = jnp.asarray(E)
     wx = jnp.asarray(wx)
@@ -428,33 +424,43 @@ def apply_filter_to_signal(E, os, wx):
     nmodes, L = E.shape
     nout, _, ntaps = wx.shape
     Lout = (L - ntaps) // os + 1
-    U = -(-ntaps // os)
-    T = min(1024, max(128, Lout))
-    ntile = -(-(Lout + U) // T)
-    need_full = ntile * os * T + (os - 1)
     cplx = jnp.iscomplexobj(E)
     if cplx:
         planes = jnp.concatenate([E.real, E.imag], axis=0)
-    else:
-        planes = E
-    planes = jnp.pad(planes, ((0, 0), (0, max(0, need_full - L))))
-    polys = _poly_downsample(planes, os, ntile, T)  # os x (nplanes, ntile*T)
-    nplanes = planes.shape[0]
-    rows = []
-    for q in range(nplanes):
-        for t in range(ntaps):
-            rows.append(lax.slice(polys[t % os][q], (t // os,), (t // os + Lout,)))
-    A = jnp.stack(rows, 0)  # (nplanes*ntaps, Lout)
-    if cplx:
         Wr = wx.real.reshape(nout, nmodes * ntaps)
         Wi = wx.imag.reshape(nout, nmodes * ntaps)
         Wcat = jnp.concatenate([jnp.concatenate([Wr, -Wi], 1),
                                 jnp.concatenate([Wi, Wr], 1)], 0)
-        out = jnp.matmul(Wcat.astype(A.dtype), A, precision=lax.Precision.HIGHEST)
+    else:
+        planes = E
+        Wcat = wx.reshape(nout, nmodes * ntaps)
+    P = planes.shape[0]
+    nop = Wcat.shape[0]
+    G = max(1, 128 // nop)
+    Gos = G * os
+    TAU = (G - 1) * os + ntaps
+    Ncols = -(-Lout // G)
+    nb = -(-TAU // Gos)  # shifted reshape blocks needed to cover TAU rows
+    padL = (Ncols + nb - 1) * Gos
+    planes = jnp.pad(planes, ((0, 0), (0, max(0, padL - L))))
+    # A2[(p,tau), c] = planes[p, c*Gos + tau], built blockwise: block b holds
+    # rows tau in [b*Gos, (b+1)*Gos) as a (Ncols, Gos) reshape transposed on
+    # its two minor dims (unit-stride reads, one relayout pass)
+    blocks = [
+        planes[:, b * Gos: (b + Ncols) * Gos]
+        .reshape(P, Ncols, Gos).swapaxes(1, 2)
+        for b in range(nb)
+    ]
+    A2 = jnp.concatenate(blocks, axis=1)[:, :TAU, :].reshape(P * TAU, Ncols)
+    # W2: stack the G output-phase shifts of Wcat along tau
+    Wcat3 = Wcat.reshape(nop, P, ntaps)
+    W2 = jnp.stack([jnp.pad(Wcat3, ((0, 0), (0, 0), (g * os, TAU - ntaps - g * os)))
+                    for g in range(G)], axis=1).reshape(nop * G, P * TAU)
+    out2 = jnp.matmul(W2.astype(A2.dtype), A2, precision=_FILTER_PRECISION)
+    out = out2.reshape(nop, G, Ncols).swapaxes(1, 2).reshape(nop, Ncols * G)[:, :Lout]
+    if cplx:
         return (out[:nout] + 1j * out[nout:]).astype(E.dtype)
-    W = wx.reshape(nout, nmodes * ntaps)
-    return jnp.matmul(W.astype(A.dtype), A,
-                      precision=lax.Precision.HIGHEST).astype(E.dtype)
+    return out.astype(E.dtype)
 
 
 def apply_filter(E, os, wxy, modes=None, method=None):

@@ -1,0 +1,92 @@
+"""Micro-benchmark single ops on the TPU with the fetch-differenced protocol.
+
+Usage: python tools/microbench.py <op> [opts...]
+Ops: bps <T>..., filter, hbm
+The relay is fully async and memoizes (program, inputs): time two programs
+chaining REPS_A/REPS_B data-dependent executions, each fetch-timed with a
+fresh scalar seed, and difference.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+REPS_A, REPS_B = 4, 24
+
+
+def timeit(build, Er, Ei, label):
+    """build(E)->scalar f32; returns per-rep ms via differenced fetch."""
+    def make(reps):
+        @jax.jit
+        def timed(er, ei, s0):
+            def body(i, carry):
+                scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                return build(er * scale + 1j * (ei * scale))
+            return jax.lax.fori_loop(0, reps, body, s0)
+        return timed
+
+    tA, tB = make(REPS_A), make(REPS_B)
+    np.asarray(tA(Er, Ei, jnp.float32(0.)))
+    np.asarray(tB(Er, Ei, jnp.float32(0.5)))
+
+    def run(f, seed):
+        t0 = time.perf_counter()
+        np.asarray(f(Er, Ei, jnp.float32(seed)))
+        return time.perf_counter() - t0
+
+    a = min(run(tA, 1.0), run(tA, 2.0))
+    b = min(run(tB, 3.0), run(tB, 4.0))
+    dt = max(b - a, 1e-9) / (REPS_B - REPS_A)
+    print("%-40s %8.3f ms" % (label, dt * 1e3), flush=True)
+    return dt
+
+
+def main():
+    from bench import make_tx
+    from qampy_tpu.ops import equaliser as eqops
+    from qampy_tpu.ops import phase as phops
+    from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+
+    op = sys.argv[1]
+    E_np, _, _ = make_tx(2 ** 20)
+    Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
+    Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
+    M, Ntaps, os_, A, N = 64, 17, 2, 64, 14
+    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
+    grid = phops.detect_square_grid(const)
+    angles_h = np.linspace(-np.pi / 4, np.pi / 4, A, endpoint=False, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    w_h = (rng.standard_normal((2, 2, Ntaps)) +
+           1j * rng.standard_normal((2, 2, Ntaps))).astype(np.complex64) * 0.1
+
+    if op == "hbm":
+        timeit(lambda E: jnp.mean(jnp.abs(E)), Er, Ei, "hbm floor (read E)")
+    elif op == "bps":
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        for T in [int(x) for x in sys.argv[2:]] or [512, 1024, 2048, 4096]:
+            timeit(lambda E, T=T: jnp.mean(
+                bps_idx_pallas(E, angles_h, grid, N, T=T).astype(jnp.float32)),
+                Er, Ei, "bps_idx_pallas T=%d" % T)
+    elif op == "filter":
+        def f(E):
+            w = jnp.asarray(w_h)
+            return jnp.mean(jnp.abs(eqops.apply_filter_to_signal(E, os_, w)))
+        timeit(f, Er, Ei, "apply_filter_to_signal (xla)")
+        try:
+            from qampy_tpu.ops.equaliser_pallas import apply_filter_pallas
+            def g(E):
+                w = jnp.asarray(w_h)
+                return jnp.mean(jnp.abs(apply_filter_pallas(E, os_, w)))
+            timeit(g, Er, Ei, "apply_filter_pallas")
+        except ImportError:
+            pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Split the BPS Pallas kernel cost: distance calc vs window cumsum vs argmin.
+
+Variants (same I/O shapes, T tile):
+  dist    : rotate+decide+dist, then mean over angles (no window, no argmin)
+  distmin : rotate+decide+dist + argmin (no window)
+  win     : full kernel minus argmin (mean of windowed sums)
+  full    : production kernel path
+  winlog  : windowed sum via 28=16+8+4 decomposition instead of full cumsum
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tools.microbench import timeit
+
+
+def make_variant(variant, T, N2, grid_const, A):
+    d0, lo, n = grid_const
+    inv_d0 = 1.0 / d0
+
+    def kernel(er_ref, ei_ref, cos_ref, sin_ref, out_ref, tail_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            tail_ref[:] = jnp.zeros_like(tail_ref)
+
+        er = er_ref[0, 0]
+        ei = ei_ref[0, 0]
+        ca = cos_ref[:]
+        sa = sin_ref[:]
+        zr = er * ca - ei * sa
+        zi = er * sa + ei * ca
+        ur = (zr - lo) * inv_d0
+        ui = (zi - lo) * inv_d0
+        fr = ur - jnp.clip(jnp.round(ur), 0, n - 1)
+        fi = ui - jnp.clip(jnp.round(ui), 0, n - 1)
+        dist = fr * fr + fi * fi
+        if variant == "dist":
+            out_ref[:] = jnp.sum(dist, axis=0).astype(jnp.int32)[None, None, None, :]
+            return
+        if variant == "distmin":
+            out_ref[:] = jnp.argmin(dist, axis=0).astype(jnp.int32)[None, None, None, :]
+            return
+        if variant == "winlog":
+            # window sum of 28 = 16 + 8 + 4 via doubling partial sums
+            buf = jnp.concatenate([tail_ref[:], dist], axis=1)  # (A, N2+T)
+            s = buf
+            sums = {1: buf}
+            w = 1
+            while w < 16:
+                s = s + jnp.concatenate(
+                    [jnp.zeros((A, w), s.dtype), s[:, : s.shape[1] - w]], axis=1)
+                w *= 2
+                sums[w] = s
+            # win ending at lane i (in buf coords): s16[i] + s8[i-16] + s4[i-24]
+            s16, s8, s4 = sums[16], sums[8], sums[4]
+            win = (s16[:, N2:] + s8[:, N2 - 16: -16] + s4[:, N2 - 24: -24])
+            out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
+            tail_ref[:] = dist[:, T - N2:]
+            return
+        csum = dist
+        sh = 1
+        while sh < T:
+            csum = csum + jnp.concatenate(
+                [jnp.zeros((csum.shape[0], sh), csum.dtype), csum[:, : T - sh]],
+                axis=1)
+            sh *= 2
+        shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
+        win = csum - shifted
+        if variant == "win":
+            out_ref[:] = jnp.sum(win, axis=0).astype(jnp.int32)[None, None, None, :]
+        else:
+            out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
+        tail_ref[:] = csum[:, T - 1: T] - csum[:, T - N2:]
+
+    return kernel
+
+
+def build(variant, T, N, grid, angles_h):
+    A = angles_h.size
+    N2 = 2 * N
+    tail_shape = (A, N2)
+
+    def f(E):
+        nmodes, L = E.shape
+        pad = (-L) % T
+        Lp = L + pad
+        nchunks = Lp // T
+        er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
+        ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
+        ang = angles_h.reshape(A, 1)
+        cos_a = jnp.asarray(np.cos(ang))
+        sin_a = jnp.asarray(np.sin(ang))
+        kernel = make_variant(variant, T, N2, grid, A)
+        raw = pl.pallas_call(
+            kernel,
+            grid=(nmodes, nchunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((A, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((A, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
+            scratch_shapes=[pltpu.VMEM(tail_shape, jnp.float32)],
+        )(er, ei, cos_a, sin_a)
+        return jnp.mean(raw.astype(jnp.float32))
+
+    return f
+
+
+def main():
+    from bench import make_tx
+    from qampy_tpu.ops import phase as phops
+    from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+
+    E_np, _, _ = make_tx(2 ** 20)
+    Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
+    Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
+    M, A, N = 64, 64, 14
+    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
+    grid = phops.detect_square_grid(const)
+    angles_h = np.linspace(-np.pi / 4, np.pi / 4, A, endpoint=False, dtype=np.float32)
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    variants = sys.argv[2:] or ["dist", "distmin", "win", "full", "winlog"]
+    for v in variants:
+        timeit(build(v, T, N, grid, angles_h), Er, Ei, "bps[%s] T=%d" % (v, T))
+
+
+if __name__ == "__main__":
+    main()
