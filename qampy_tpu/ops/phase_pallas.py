@@ -9,9 +9,8 @@ HBM traffic drops to reading E once and writing the int32 index array.
 
 Layout: angles live on the sublane axis (A rows), time on the lane axis
 (T-sample tiles).  The running sum needs state across time tiles — the TPU
-grid executes sequentially, so a VMEM scratch carries the last 2N cumsum
-columns and the running total from tile to tile (reset when the mode grid
-index changes).
+grid executes sequentially, so a VMEM scratch carries the last 2N distance
+columns from tile to tile (reset when the mode grid index changes).
 
 Parity: reference qampy/core/pythran_dsp.py:47-85 (bps) + :26-42
 (select_angle_index); same edge semantics as ops/phase.bps_idx.
@@ -30,6 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _bps_kernel(T, N2, grid_const):
     d0, lo, n = grid_const
+    nm1 = float(n - 1)
+    c0 = float(lo / d0)  # grid offset in level units
 
     def kernel(er_ref, ei_ref, cos_ref, sin_ref, out_ref, tail_ref):
         c = pl.program_id(1)
@@ -40,13 +41,19 @@ def _bps_kernel(T, N2, grid_const):
 
         er = er_ref[0, 0]  # (1, T)
         ei = ei_ref[0, 0]
+        # rotation and 1/d0 grid normalisation folded into the angle table
+        # (cos_ref/sin_ref arrive pre-scaled by 1/d0): rotate+normalise is
+        # 4 FMAs; distances come out in units of d0^2, which argmin ignores
         ca = cos_ref[:]  # (A, 1)
         sa = sin_ref[:]
-        zr = er * ca - ei * sa  # (A, T)
-        zi = er * sa + ei * ca
-        qr = lo + d0 * jnp.clip(jnp.round((zr - lo) / d0), 0, n - 1)
-        qi = lo + d0 * jnp.clip(jnp.round((zi - lo) / d0), 0, n - 1)
-        dist = (zr - qr) ** 2 + (zi - qi) ** 2  # (A, T)
+        ur = er * ca - (ei * sa + c0)  # (A, T) level coords
+        ui = er * sa + (ei * ca - c0)
+        # nearest-level decision: floor(x+0.5) instead of jnp.round — the
+        # round-half-even lowering costs ~25% of the whole kernel on TPU and
+        # the tie direction never changes |x - round(x)|
+        fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
+        fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
+        dist = fr * fr + fi * fi  # (A, T)
         # local cumsum along lanes via log2(T) shifted adds (jnp.cumsum has
         # no TPU Pallas lowering)
         csum = dist
@@ -93,9 +100,10 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
     # rule (last two block dims divisible by (8, 128) or equal to the array's)
     er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
     ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
-    ang = np.asarray(testangles, dtype=np.float32).reshape(A, 1)
-    cos_a = jnp.asarray(np.cos(ang))
-    sin_a = jnp.asarray(np.sin(ang))
+    ang = np.asarray(testangles, dtype=np.float64).reshape(A, 1)
+    # fold the 1/d0 grid normalisation into the rotation table (see kernel)
+    cos_a = jnp.asarray((np.cos(ang) / grid[0]).astype(np.float32))
+    sin_a = jnp.asarray((np.sin(ang) / grid[0]).astype(np.float32))
 
     kernel = _bps_kernel(T, N2, grid)
     raw = pl.pallas_call(

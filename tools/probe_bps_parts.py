@@ -40,8 +40,28 @@ def make_variant(variant, T, N2, grid_const, A):
         sa = sin_ref[:]
         zr = er * ca - ei * sa
         zi = er * sa + ei * ca
+        if variant == "rotonly":
+            out_ref[:] = jnp.sum(zr + zi, axis=0).astype(jnp.int32)[None, None, None, :]
+            return
         ur = (zr - lo) * inv_d0
         ui = (zi - lo) * inv_d0
+        if variant == "dist_floor":
+            rr = jnp.floor(ur + 0.5)
+            ri = jnp.floor(ui + 0.5)
+            fr = ur - jnp.clip(rr, 0, n - 1)
+            fi = ui - jnp.clip(ri, 0, n - 1)
+            out_ref[:] = jnp.sum(fr * fr + fi * fi, axis=0).astype(jnp.int32)[None, None, None, :]
+            return
+        if variant == "dist_noclip":
+            fr = ur - jnp.round(ur)
+            fi = ui - jnp.round(ui)
+            out_ref[:] = jnp.sum(fr * fr + fi * fi, axis=0).astype(jnp.int32)[None, None, None, :]
+            return
+        if variant == "dist_floor_noclip":
+            fr = ur - jnp.floor(ur + 0.5)
+            fi = ui - jnp.floor(ui + 0.5)
+            out_ref[:] = jnp.sum(fr * fr + fi * fi, axis=0).astype(jnp.int32)[None, None, None, :]
+            return
         fr = ur - jnp.clip(jnp.round(ur), 0, n - 1)
         fi = ui - jnp.clip(jnp.round(ui), 0, n - 1)
         dist = fr * fr + fi * fi
