@@ -169,7 +169,10 @@ def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
 def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
     """Two-stage BPS: coarse search then per-sample fine grid.
 
-    Parity: reference core/phaserecovery.py:222-288.
+    Parity: reference core/phaserecovery.py:222-288. On TPU with a
+    square-grid constellation both stages run as fused Pallas kernels
+    (the coarse shared-grid pass plus a per-sample fine pass whose
+    rotations ride the angle-addition formulas).
     """
     E = jnp.asarray(E)
     symbols = jnp.asarray(symbols)
@@ -179,6 +182,14 @@ def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
     Ew = jnp.atleast_2d(E)
 
     grid = detect_square_grid(symbols)
+    if _use_pallas_bps(grid, method):
+        from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
+        phf = bps_phase_twostage_pallas(Ew, Mtestangles, B, grid, N)
+        ph_out = jnp.unwrap(phf * 4, axis=-1) / 4
+        En = Ew * jnp.exp(1.j * ph_out).astype(Ew.dtype)
+        if E.ndim == 1:
+            return En.flatten(), ph_out.flatten()
+        return En, ph_out
 
     def one_mode(e):
         idx = bps_idx(e, angles, symbols, N, grid=grid)

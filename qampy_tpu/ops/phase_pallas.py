@@ -128,3 +128,122 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
     # position i - N for i in [N2, L) and leaves the rest at 0
     idx = jnp.zeros((nmodes, L), dtype=jnp.int32)
     return idx.at[:, N: L - N].set(raw[:, N2:])
+
+
+# ---------------------------------------------------------------------------
+# fused two-stage BPS (coarse shared grid + per-sample fine offsets)
+# ---------------------------------------------------------------------------
+
+def _bps_fine_kernel(T, N2, B, grid_const, deltas):
+    """Stage-2 kernel: distances at per-sample angles ph1[i] + delta_b.
+
+    The per-sample rotation coefficients come from the angle-addition
+    formulas: cos/sin of the coarse phase arrive precomputed (XLA computes
+    them over the whole signal with full-width layouts), the B fine offsets
+    broadcast as a (B, 1) constant column so every VPU op runs on full
+    (B, T) tiles — a per-offset Python loop over (1, T) rows would waste
+    7/8 of the sublanes. The static cos/sin(delta_b) carry the 1/d0 grid
+    normalisation.
+    """
+    d0, lo, n = grid_const
+    nm1 = float(n - 1)
+    c0 = float(lo / d0)
+
+    def kernel(er_ref, ei_ref, c1_ref, s1_ref, cd_ref, sd_ref, out_ref, tail_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            tail_ref[:] = jnp.zeros_like(tail_ref)
+
+        er = er_ref[0, 0]  # (1, T)
+        ei = ei_ref[0, 0]
+        c1 = c1_ref[0, 0]
+        s1 = s1_ref[0, 0]
+        cdv = cd_ref[:]  # (B, 1)
+        sdv = sd_ref[:]
+        ca = c1 * cdv - s1 * sdv  # cos(ph+delta)/d0, (B, T)
+        sa = s1 * cdv + c1 * sdv
+        ur = er * ca - (ei * sa + c0)
+        ui = er * sa + (ei * ca - c0)
+        fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
+        fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
+        dist = fr * fr + fi * fi  # (B, T)
+        csum = dist
+        sh = 1
+        while sh < T:
+            csum = csum + jnp.concatenate(
+                [jnp.zeros((csum.shape[0], sh), csum.dtype), csum[:, : T - sh]],
+                axis=1)
+            sh *= 2
+        shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
+        win = csum - shifted
+        out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
+        tail_ref[:] = csum[:, T - 1: T] - csum[:, T - N2:]
+
+    return kernel
+
+
+def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None):
+    """Two-stage BPS phase search as two fused Pallas passes.
+
+    Stage 1 runs the shared coarse grid (Mtestangles angles over
+    [-pi/4, pi/4)); stage 2 refines with B per-sample offsets spanning one
+    coarse step, exactly the grid of ops/phase.bps_twostage (reference
+    core/phaserecovery.py:222-288). Returns the per-sample fine phase
+    (nmodes, L) float32 (pre-unwrap, same edge semantics as the XLA path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E = jnp.asarray(E)
+    nmodes, L = E.shape
+    N2 = 2 * N
+    assert grid is not None, "pallas BPS needs a square-grid constellation"
+    assert N2 < T, "window must fit in one tile"
+    coarse = np.linspace(-np.pi / 4, np.pi / 4, Mtestangles, endpoint=False,
+                         dtype=np.float32)
+    idx1 = bps_idx_pallas(E, coarse, grid, N, T=T, interpret=interpret)
+    step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
+    ph1 = lo1 + step1 * idx1.astype(jnp.float32)
+    # fine offsets: b/(B*Mtestangles)*pi/2 for b = linspace(-B/2, B/2, B)
+    bvals = np.linspace(-B / 2, B / 2, B)
+    deltas = bvals / (B * Mtestangles) * np.pi / 2
+
+    pad = (-L) % T
+    Lp = L + pad
+    nchunks = Lp // T
+    shape4 = (nmodes, nchunks, 1, T)
+    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    c1 = jnp.pad(jnp.cos(ph1), ((0, 0), (0, pad))).reshape(shape4)
+    s1 = jnp.pad(jnp.sin(ph1), ((0, 0), (0, pad))).reshape(shape4)
+
+    kernel = _bps_fine_kernel(T, N2, B, grid, deltas)
+    raw = pl.pallas_call(
+        kernel,
+        grid=(nmodes, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda m, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((B, N2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(er, ei, c1, s1,
+      jnp.asarray((np.cos(deltas) / grid[0]).astype(np.float32).reshape(B, 1)),
+      jnp.asarray((np.sin(deltas) / grid[0]).astype(np.float32).reshape(B, 1)))
+    raw = raw.reshape(nmodes, Lp)[:, :L]
+    idx2 = jnp.zeros((nmodes, L), dtype=jnp.int32)
+    idx2 = idx2.at[:, N: L - N].set(raw[:, N2:])
+    # the fine grid is affine in the offset index: delta = d0f + ddf*k
+    d0f = float(deltas[0])
+    ddf = float(deltas[1] - deltas[0]) if B > 1 else 0.0
+    return ph1 + d0f + ddf * idx2.astype(jnp.float32)

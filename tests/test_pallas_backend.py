@@ -78,6 +78,39 @@ class TestPallasBPS:
         if mism.any():
             assert np.abs(ref.astype(int) - got.astype(int))[mism].max() <= 1
 
+    @pytest.mark.parametrize("T,A,B,N", [(512, 16, 8, 14), (256, 32, 4, 8)])
+    def test_twostage_matches_xla(self, rng, T, A, B, N):
+        """Fused two-stage pallas phase vs ops/phase.bps_twostage (XLA)."""
+        import jax
+        from qampy_tpu.ops import phase as phops
+        from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
+        const, grid, E = self._setup(rng)
+        _, ph_ref = phops.bps_twostage(E, A, const, N, B=B, method="pyt")
+        phf = np.asarray(bps_phase_twostage_pallas(E, A, B, grid, N, T=T,
+                                                   interpret=True))
+        import jax.numpy as jnp
+        ph_got = np.asarray(jnp.unwrap(jnp.asarray(phf) * 4, axis=-1) / 4)
+        valid = np.s_[:, 2 * N: -2 * N]
+        # rare near-tie argmin flips move the phase by one fine step
+        fine_step = np.pi / 2 / ((B - 1) * A)
+        close = np.abs(ph_got[valid] - np.asarray(ph_ref)[valid]) <= fine_step + 1e-5
+        assert close.mean() > 0.999
+
+    def test_twostage_dispatch(self, rng):
+        """bps_twostage(method='pallas') recovers phase like method='pyt'."""
+        from qampy_tpu.ops import phase as phops
+        from qampy_tpu.ops import phase_pallas as ppal
+        const, grid, E = self._setup(rng, L=2048)
+        orig = ppal.bps_phase_twostage_pallas
+        try:
+            ppal.bps_phase_twostage_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+            out_p, ph_p = phops.bps_twostage(E, 16, const, 8, B=8, method="pallas")
+        finally:
+            ppal.bps_phase_twostage_pallas = orig
+        out_x, ph_x = phops.bps_twostage(E, 16, const, 8, B=8, method="pyt")
+        valid = np.s_[:, 16:-16]
+        assert np.allclose(np.asarray(ph_p)[valid], np.asarray(ph_x)[valid], atol=0.06)
+
     def test_bps_method_dispatch(self, rng):
         """bps(method='pallas') equals bps(method='pyt') on recovered phase."""
         import jax

@@ -73,6 +73,20 @@ def main():
             timeit(lambda E, T=T: jnp.mean(
                 bps_idx_pallas(E, angles_h, grid, N, T=T).astype(jnp.float32)),
                 Er, Ei, "bps_idx_pallas T=%d" % T)
+    elif op == "bpsA":
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        for A2 in [int(x) for x in sys.argv[2:]] or [8, 16, 32, 64]:
+            ah = np.linspace(-np.pi / 4, np.pi / 4, A2, endpoint=False, dtype=np.float32)
+            timeit(lambda E, ah=ah: jnp.mean(
+                bps_idx_pallas(E, ah, grid, N, T=2048).astype(jnp.float32)),
+                Er, Ei, "bps_idx_pallas A=%d T=2048" % A2)
+    elif op == "bps2":
+        from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
+        import itertools
+        for A1, B in [(16, 8), (32, 8), (32, 4)]:
+            timeit(lambda E, A1=A1, B=B: jnp.mean(
+                bps_phase_twostage_pallas(E, A1, B, grid, N, T=2048)),
+                Er, Ei, "bps_twostage_pallas %dx%d" % (A1, B))
     elif op == "filter":
         def f(E):
             w = jnp.asarray(w_h)
