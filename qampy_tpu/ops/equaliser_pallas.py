@@ -7,9 +7,10 @@ with the signal staged in VMEM and the taps carried in the output refs, so
 each iteration is a handful of VPU ops with no HBM traffic.
 
 Complex arithmetic is done on split real/imaginary planes (TPU Pallas has no
-complex vector type). Implemented error functions: cma, sgncma (reference
-maps it to cma), mcma and rde — the methods used by the flagship chain and
-frame sync.
+complex vector type). The sequential kernel implements cma, sgncma
+(reference maps it to cma), mcma and rde; the block trainer additionally
+implements the decision-directed sbd/mddma/dd via the analytic square-grid
+nearest-level decision.
 
 This is the third equaliser backend (``backend="pallas"``), matching
 ``backend="seq"`` semantics (same recurrence order, same adaptive-stepsize
@@ -177,27 +178,76 @@ def _block_err_rde(zr, zi, sr, si, ncode, m):
 _BLOCK_ERRFNS = {"cma": _block_err_cma, "sgncma": _block_err_cma,
                  "mcma": _block_err_mcma, "rde": _block_err_rde}
 
+#: decision-directed methods (reference pythran_equalisation.py:213-231),
+#: implemented for square-grid constellations via the analytic nearest-level
+#: decision (floor+clip per I/Q plane) instead of an O(M) distance search
+_DECISION_METHODS = ("sbd", "mddma", "dd")
+
+
+def _make_block_err_decision(method, grid):
+    d0, lo, n = grid
+    nm1 = float(n - 1)
+
+    def dec(z):
+        return lo + d0 * jnp.clip(jnp.floor((z - lo) / d0 + 0.5), 0.0, nm1)
+
+    if method == "sbd":
+        def fn(zr, zi, sr, si, ncode, m):
+            dr, di = dec(zr), dec(zi)
+            return (dr - zr) * jnp.abs(dr), (di - zi) * jnp.abs(di)
+    elif method == "mddma":
+        def fn(zr, zi, sr, si, ncode, m):
+            dr, di = dec(zr), dec(zi)
+            return (dr * dr - zr * zr) * zr, (di * di - zi * zi) * zi
+    else:  # dd
+        def fn(zr, zi, sr, si, ncode, m):
+            return dec(zr) - zr, dec(zi) - zi
+    return fn
+
+
 #: methods implemented by the fused block trainer
-PALLAS_BLOCK_METHODS = tuple(_BLOCK_ERRFNS)
+PALLAS_BLOCK_METHODS = tuple(_BLOCK_ERRFNS) + _DECISION_METHODS
 
 
-@partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive",
-                                   "real_valued", "block_size", "interpret"))
 def train_equaliser_block_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
                                  adaptive=False, real_valued=False,
                                  block_size=256, interpret=None):
     """Block-LMS training fused into one Pallas program.
 
-    Same contract and math as ops/equaliser.train_equaliser_block; complex
-    methods cma/sgncma/mcma/rde only. Returns (err, wx_out, mu_out).
+    Same contract and math as ops/equaliser.train_equaliser_block. Complex
+    methods cma/sgncma/mcma/rde plus the decision-directed sbd/mddma/dd
+    (square-grid constellations, detected host-side — pass ``symbols`` as a
+    concrete host array for those). Returns (err, wx_out, mu_out).
     interpret=None auto-selects interpreter mode on the CPU backend.
     """
+    assert not real_valued, "pallas block trainer implements complex methods"
+    assert method in PALLAS_BLOCK_METHODS, \
+        "pallas block trainer implements %s" % (PALLAS_BLOCK_METHODS,)
+    grid = None
+    if method in _DECISION_METHODS:
+        # host-side inspection: must happen outside the jitted impl
+        from qampy_tpu.ops.phase import detect_square_grid
+        grid = detect_square_grid(np.asarray(symbols)[0])
+        assert grid is not None, \
+            "pallas block trainer needs a square-grid constellation for %s" % method
+    return _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols,
+                                    method, adaptive, real_valued, block_size,
+                                    interpret, grid)
+
+
+@partial(jax.jit, static_argnames=("TrSyms", "Niter", "os", "method", "adaptive",
+                                   "real_valued", "block_size", "interpret",
+                                   "grid"))
+def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
+                             adaptive, real_valued, block_size, interpret,
+                             grid):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    assert not real_valued, "pallas block trainer implements complex methods"
-    assert method in _BLOCK_ERRFNS, \
-        "pallas block trainer implements %s" % (PALLAS_BLOCK_METHODS,)
+    if method in _DECISION_METHODS:
+        errfn = _make_block_err_decision(method, grid)
+    else:
+        errfn = _BLOCK_ERRFNS[method]
     E = jnp.asarray(E)
     wx = jnp.asarray(wx)
     symbols = jnp.asarray(symbols)
@@ -209,7 +259,6 @@ def train_equaliser_block_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
     K = nmodes * ntaps
     ncode = (symbols.shape[-1] + 1) // 2 if method == "rde" else symbols.shape[-1]
     rdtype = jnp.float32
-    errfn = _BLOCK_ERRFNS[method]
 
     # pre-gather all training windows once as ntaps strided slices (a real
     # gather costs ~10 ms on TPU for 2^16 windows; slices are free):

@@ -132,7 +132,7 @@ class TestPallasBPS:
 class TestPallasBlockTrainer:
     """Fused block-LMS Pallas kernel vs the XLA block trainer (interpret)."""
 
-    @pytest.mark.parametrize("method", ["cma", "mcma", "rde"])
+    @pytest.mark.parametrize("method", ["cma", "mcma", "rde", "sbd", "mddma", "dd"])
     @pytest.mark.parametrize("adaptive", [False, True])
     def test_matches_block_backend(self, field, method, adaptive):
         from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
