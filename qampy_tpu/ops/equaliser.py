@@ -47,6 +47,11 @@ REAL_VALUED = ("cma_real", "dd_real", "dd_data_real", "sgncma_real")
 DATA_AIDED = ("dd_data_real", "sbd_data")
 #: All available adaptive equaliser methods (:99)
 TRAINING_FCTS = DECISION_BASED + NONDECISION_BASED
+#: Extended blind methods from the reference's alternative backends: the
+#: square-contour algorithm and the constellation-matched error (reference
+#: cython_errorfcts.pyx:196-241, numba_equalisation.py:302-361); named as a
+#: valid method in the reference driver docstring (equalisation.py:429).
+EXTENDED_METHODS = ("sca", "cme")
 
 
 # ---------------------------------------------------------------------------
@@ -104,10 +109,26 @@ def generate_partition_codes_complex(M):
     return np.hstack([codes, part_r + 1.j * part_i])
 
 
+def _min_spacing(M):
+    """Distance between constellation points along one dimension."""
+    levels = np.unique(cal_symbols_qam(M).real / np.sqrt(cal_scaling_factor_qam(M)))
+    return float(np.min(np.diff(levels)))
+
+
 def generate_symbols_for_eq(method, M, dtype):
     """Per-method constants/symbol arrays (reference :101-136)."""
     if method in ("cma", "cma2", "sgncma"):
         return np.atleast_2d(_cal_Rconstant(M) + 0j).astype(dtype)
+    if method == "sca":
+        return np.atleast_2d(_cal_Rsca(M) + 0j).astype(dtype)
+    if method == "cme":
+        # row = [R, d, beta]: CMA radius, sinusoid period d chosen so the
+        # grid penalty sin(pi*x/d) vanishes at every constellation level
+        # (levels sit at odd multiples of half the spacing), and the CMA/sin
+        # mixing ratio beta (He et al. 2004); override by passing
+        # symbols=[[R, d, beta]] explicitly
+        return np.atleast_2d(np.array(
+            [_cal_Rconstant(M), _min_spacing(M) / 2, 0.5]) + 0j).astype(dtype)
     if method == "mcma":
         return np.atleast_2d(_cal_Rconstant_complex(M)).astype(dtype)
     if method == "rde":
@@ -219,6 +240,29 @@ def _make_error_fn(method):
     elif method == "dd":
         def fn(Xest, syms, i):
             return _nearest(Xest, syms) - Xest
+    elif method == "sca":
+        # square-contour algorithm (reference cython_errorfcts.pyx:196-226):
+        # drive whichever I/Q component is larger towards the square contour
+        # of radius R; both when exactly equal
+        def fn(Xest, syms, i):
+            # _cal_Rsca returns the squared contour radius (same convention
+            # as _cal_Rconstant: an E|s|^4/E|s|^2-style ratio)
+            R2 = syms[0].real
+            ar, ai = jnp.abs(Xest.real), jnp.abs(Xest.imag)
+            A = (ar >= ai).astype(Xest.real.dtype)
+            B = (ai >= ar).astype(Xest.real.dtype)
+            return (16 * Xest.real * (R2 - Xest.real ** 2) * A
+                    + 1j * (16 * Xest.imag * (R2 - Xest.imag ** 2) * B))
+    elif method == "cme":
+        # constellation-matched error (reference cython_errorfcts.pyx:228-241,
+        # numba_equalisation.py:302-329): CMA term plus a sinusoidal
+        # constellation-grid penalty of period d mixed in with ratio beta
+        def fn(Xest, syms, i):
+            R, d, beta = syms[0].real, syms[1].real, syms[2].real
+            err = (R - helpers.cabssquared(Xest)) * Xest
+            k = beta * jnp.pi / (2 * d)
+            return err + k * (jnp.sin(Xest.real * jnp.pi / d)
+                              + 1j * jnp.sin(Xest.imag * jnp.pi / d))
     else:
         raise ValueError("Unknown method %s" % method)
     return fn
@@ -495,7 +539,14 @@ def _cal_training_symbol_len(os, ntaps, L):
 
 def _reshape_symbols(symbols, method, M, dtype, nmodes):
     """Normalise the shape of the symbols/constants array (reference :568-594)."""
-    if symbols is None or method in NONDECISION_BASED:
+    if method in EXTENDED_METHODS:
+        # sca takes one constant, cme a [R, d, beta] row; anything else
+        # (e.g. the constellation a signal-level wrapper passes by default)
+        # is replaced by the generated constants
+        nconst = {"sca": 1, "cme": 3}[method]
+        if symbols is None or np.asarray(symbols).shape[-1] != nconst:
+            symbols = generate_symbols_for_eq(method, M, dtype)
+    elif symbols is None or method in NONDECISION_BASED:
         symbols = generate_symbols_for_eq(method, M, dtype)
     symbols = np.asarray(symbols)
     if method not in REAL_VALUED:

@@ -106,6 +106,20 @@ class TestBlindEqualisation:
                                                 method=method)
         assert np.all(np.asarray(E.cal_ser()) < 1e-4)
 
+    @pytest.mark.parametrize("method,mu,adaptive", [
+        ("sca", 3e-4, False),   # SCA's 16x-scaled error collapses adaptive mu
+        ("cme", 1e-3, True),
+    ])
+    def test_extended_methods_pmd_16qam(self, method, mu, adaptive):
+        # sca/cme: the reference's alternative-backend blind methods
+        # (cython_errorfcts.pyx:196-241, numba_equalisation.py:302-361)
+        sig = _make_signal(16, snr=25, dgd=100e-12)
+        E, wx, e = equalisation.dual_mode_equalisation(
+            sig, (mu, 1e-3), 17, methods=(method, "sbd"),
+            adaptive_stepsize=(adaptive, True))
+        ser = np.asarray(E.cal_ser())
+        assert np.all(ser < 1e-3)
+
     def test_modes_subset(self):
         sig = _make_signal(4, N=3 * 10 ** 4, nmodes=2, snr=25)
         wxy, err = equalisation.equalise_signal(sig, 1e-3, Ntaps=11, method="cma",
