@@ -920,7 +920,10 @@ class SignalWithPilots(Signal):
     pilots are full signal objects, so frame-level metrics delegate to them.
     """
 
-    _leaf_fields = ("samples",)
+    # the payload/pilot sub-signals are pytree children: a tree_map (jit,
+    # device_put, the IO host conversion) must rebuild them too, or the
+    # round-tripped object loses its symbols/pilots metadata
+    _leaf_fields = ("samples", "_symbols_obj", "_pilots_obj")
     _aux_fields = ("_fb", "_fs", "_frame_len", "_pilot_seq_len", "_pilot_ins_rat",
                    "_pilot_scale", "_idx_dat", "_shiftfctrs", "_synctaps", "_foe")
 
