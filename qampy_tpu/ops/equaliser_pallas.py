@@ -260,13 +260,15 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
     ncode = (symbols.shape[-1] + 1) // 2 if method == "rde" else symbols.shape[-1]
     rdtype = jnp.float32
 
-    # pre-gather all training windows once as ntaps strided slices (a real
-    # gather costs ~10 ms on TPU for 2^16 windows; slices are free):
-    # Xw[b*S+s, m*ntaps+t] = E[m, (b*S+s)*os + t]
+    # pre-gather all training windows once as ntaps strided slices laid out
+    # (K, Ts) with k = t*nmodes + m: a plain concat of the slices, NO
+    # transpose/stack reshuffle (the old (Ts, K) layout cost ~1 ms in XLA
+    # copies — 10x the training kernel itself). Blocks slice the lane axis.
+    # Xw[t*nmodes+m, b*S+s] = E[m, (b*S+s)*os + t]
     Ts = nblocks * S
     cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os + 1), (1, os))
             for t in range(ntaps)]  # each (nmodes, Ts)
-    Xw = jnp.moveaxis(jnp.stack(cols, axis=-1), 0, 1).reshape(nblocks, S, K)
+    Xw = jnp.concatenate(cols, axis=0)  # (K, Ts)
 
     def kernel(xr_ref, xi_ref, sr_ref, si_ref, mu0_ref, wr0_ref, wi0_ref,
                wr_out, wi_out, mu_out, err_r_out, err_i_out, prev_ref):
@@ -279,52 +281,55 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
             mu_out[:] = mu0_ref[:]
             prev_ref[:] = jnp.zeros_like(prev_ref)
 
-        xr = xr_ref[0]  # (S, K)
-        xi = xi_ref[0]
+        xr = xr_ref[:]  # (K, S)
+        xi = xi_ref[:]
         wr = wr_out[:]  # (nout, K)
         wi = wi_out[:]
-        # Xest = X @ W^T (complex, split planes)
-        zr = (jnp.dot(xr, wr.T, preferred_element_type=rdtype)
-              - jnp.dot(xi, wi.T, preferred_element_type=rdtype))  # (S, nout)
-        zi = (jnp.dot(xr, wi.T, preferred_element_type=rdtype)
-              + jnp.dot(xi, wr.T, preferred_element_type=rdtype))
+        # Xest = W @ X (complex, split planes) -> (nout, S)
+        zr = (jnp.dot(wr, xr, preferred_element_type=rdtype)
+              - jnp.dot(wi, xi, preferred_element_type=rdtype))
+        zi = (jnp.dot(wr, xi, preferred_element_type=rdtype)
+              + jnp.dot(wi, xr, preferred_element_type=rdtype))
         ers, eis = [], []
         for m in range(nout):  # static unroll over output modes
-            er_m, ei_m = errfn(zr[:, m], zi[:, m], sr_ref, si_ref, ncode, m)
+            er_m, ei_m = errfn(zr[m], zi[m], sr_ref, si_ref, ncode, m)
             ers.append(er_m)
             eis.append(ei_m)
-        er = jnp.stack(ers, axis=1)  # (S, nout)
-        ei = jnp.stack(eis, axis=1)
-        err_r_out[0] = er.T
-        err_i_out[0] = ei.T
+        er = jnp.stack(ers, axis=0)  # (nout, S)
+        ei = jnp.stack(eis, axis=0)
+        err_r_out[0] = er
+        err_i_out[0] = ei
         mu_c = mu_out[:, 0]  # (nout,)
-        ger = er * mu_c[None, :]
-        gei = ei * mu_c[None, :]
-        # dW = (mu*err) @ conj(X): re = er@xr + ei@xi, im = ei@xr - er@xi
-        wr_out[:] = wr + (jnp.dot(ger.T, xr, preferred_element_type=rdtype)
-                          + jnp.dot(gei.T, xi, preferred_element_type=rdtype))
-        wi_out[:] = wi + (jnp.dot(gei.T, xr, preferred_element_type=rdtype)
-                          - jnp.dot(ger.T, xi, preferred_element_type=rdtype))
+        ger = er * mu_c[:, None]
+        gei = ei * mu_c[:, None]
+        # dW = (mu*err) @ conj(X)^T: contract over samples (lane axis of both)
+        dot_s = lambda a, b: lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=rdtype)
+        wr_out[:] = wr + (dot_s(ger, xr) + dot_s(gei, xi))
+        wi_out[:] = wi + (dot_s(gei, xr) - dot_s(ger, xi))
         if adaptive:
             # aggregated reference rule: 1/mu += e^2 over sign-flip samples
-            pr = jnp.concatenate([prev_ref[0:1, :], er[:-1, :]], axis=0)
-            pi = jnp.concatenate([prev_ref[1:2, :], ei[:-1, :]], axis=0)
+            pr = jnp.concatenate([prev_ref[:, 0:1], er[:, :S - 1]], axis=1)
+            pi = jnp.concatenate([prev_ref[:, 1:2], ei[:, :S - 1]], axis=1)
             flip = jnp.logical_not(jnp.logical_and(er * pr > 0, ei * pi > 0))
             e2 = er * er + ei * ei
-            inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2, 0.), axis=0)
+            inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2, 0.), axis=1)
             mu_out[:] = (1.0 / inv)[:, None]
             # static slices: negative/int indexing lowers to dynamic_slice,
             # which the TPU Pallas backend does not implement
-            prev_ref[0:1, :] = er[S - 1: S, :]
-            prev_ref[1:2, :] = ei[S - 1: S, :]
+            prev_ref[:, 0:1] = er[:, S - 1: S]
+            prev_ref[:, 1:2] = ei[:, S - 1: S]
 
-    blk_map = lambda b: (b % nblocks, 0, 0)
+    blk_map = lambda b: (0, b % nblocks)
+    # k = t*nmodes + m tap layout to match the pre-gather concat order
+    w2 = jnp.moveaxis(wx, -1, 1).reshape(nout, K)
     wr, wi, mu_f, err_r, err_i = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, S, K), blk_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, K), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, S), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, S), blk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -345,14 +350,14 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
             jax.ShapeDtypeStruct((nsteps, nout, S), rdtype),
             jax.ShapeDtypeStruct((nsteps, nout, S), rdtype),
         ),
-        scratch_shapes=[pltpu.VMEM((2, nout), rdtype)],
+        scratch_shapes=[pltpu.VMEM((nout, 2), rdtype)],
         interpret=interpret,
     )(Xw.real.astype(rdtype), Xw.imag.astype(rdtype),
       symbols.real.astype(rdtype), symbols.imag.astype(rdtype),
       jnp.full((nout, 1), mu, dtype=rdtype),
-      wx.real.reshape(nout, K).astype(rdtype),
-      wx.imag.reshape(nout, K).astype(rdtype))
-    wout = (wr + 1j * wi).reshape(nout, nmodes, ntaps).astype(E.dtype)
+      w2.real.astype(rdtype), w2.imag.astype(rdtype))
+    wout = jnp.moveaxis((wr + 1j * wi).reshape(nout, ntaps, nmodes),
+                        1, -1).astype(E.dtype)
     err = (jnp.moveaxis(err_r, 0, 1).reshape(nout, -1)
            + 1j * jnp.moveaxis(err_i, 0, 1).reshape(nout, -1)).astype(E.dtype)
     return err, wout, mu_f[:, 0]

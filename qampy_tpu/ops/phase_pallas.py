@@ -27,10 +27,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _shift_right(x, k, T):
+    """x[:, i] <- x[:, i-k] with zero fill (lane-axis shift via concat)."""
+    return jnp.concatenate(
+        [jnp.zeros((x.shape[0], k), x.dtype), x[:, : T - k]], axis=1)
+
+
+def _windowed_sums(dist, N2, T, tail_ref):
+    """N2-wide running window sums ending at each lane, exact across tiles.
+
+    Binary decomposition of the window (e.g. 28 = 16+8+4) instead of a full
+    prefix cumsum: ~7 shifted adds with max shift N2-4 rather than log2(T)
+    adds with shifts up to T/2 — measured ~20% of the whole BPS kernel at
+    A=64, T=2048. Boundary columns (lookback into the previous tile) are
+    completed from ``tail_ref`` holding the bounded suffix sums
+    tail[k] = sum(dist_prev[T-N2+k+1 : T]), so precision stays full f32 at
+    any signal length. Returns (win, tail_new); caller stores tail_new.
+    Requires N2 <= 128 (one lane-tile of lookback).
+    """
+    A = dist.shape[0]
+    # power-of-2 running sums by doubling: sums[w][i] = sum dist[i-w+1 : i+1]
+    bits = [1 << b for b in range(N2.bit_length()) if N2 & (1 << b)]
+    maxw = max(bits)
+    sums = {1: dist}
+    s, w = dist, 1
+    while w < maxw:
+        s = s + _shift_right(s, w, T)
+        w *= 2
+        sums[w] = s
+    # combine the binary components, largest first, offsets accumulate
+    win, off = None, 0
+    for w in sorted(bits, reverse=True):
+        term = sums[w] if off == 0 else _shift_right(sums[w], off, T)
+        win = term if win is None else win + term
+        off += w
+    # complete the first N2 columns with the previous tile's suffix sums
+    win = win + jnp.concatenate(
+        [tail_ref[:], jnp.zeros((A, T - N2), dist.dtype)], axis=1)
+    # rebuild the suffix sums from the last lane-tile of this dist
+    d_last = dist[:, T - 128:]
+    c = d_last
+    sh = 1
+    while sh < 128:
+        c = c + _shift_right(c, sh, 128)
+        sh *= 2
+    tail_new = c[:, 127:128] - c[:, 128 - N2: 128]
+    return win, tail_new
+
+
 def _bps_kernel(T, N2, grid_const):
     d0, lo, n = grid_const
     nm1 = float(n - 1)
     c0 = float(lo / d0)  # grid offset in level units
+    assert N2 <= 128, "window lookback must fit one lane tile"
 
     def kernel(er_ref, ei_ref, cos_ref, sin_ref, out_ref, tail_ref):
         c = pl.program_id(1)
@@ -54,23 +103,9 @@ def _bps_kernel(T, N2, grid_const):
         fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
         fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
         dist = fr * fr + fi * fi  # (A, T)
-        # local cumsum along lanes via log2(T) shifted adds (jnp.cumsum has
-        # no TPU Pallas lowering)
-        csum = dist
-        sh = 1
-        while sh < T:
-            csum = csum + jnp.concatenate(
-                [jnp.zeros((csum.shape[0], sh), csum.dtype), csum[:, : T - sh]],
-                axis=1)
-            sh *= 2
-        # window sum ending at local i: csum[i] - csum[i-N2] within the tile;
-        # for i < N2 the lookback reaches the previous tile, supplied as the
-        # bounded suffix sums tail[k] = sum(dist_prev[T-N2+k+1 : T]) so no
-        # running total ever accumulates (full f32 precision at any L)
-        shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
-        win = csum - shifted
+        win, tail_new = _windowed_sums(dist, N2, T, tail_ref)
         out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
-        tail_ref[:] = csum[:, T - 1: T] - csum[:, T - N2:]
+        tail_ref[:] = tail_new
 
     return kernel
 
@@ -169,17 +204,9 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas):
         fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
         fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
         dist = fr * fr + fi * fi  # (B, T)
-        csum = dist
-        sh = 1
-        while sh < T:
-            csum = csum + jnp.concatenate(
-                [jnp.zeros((csum.shape[0], sh), csum.dtype), csum[:, : T - sh]],
-                axis=1)
-            sh *= 2
-        shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
-        win = csum - shifted
+        win, tail_new = _windowed_sums(dist, N2, T, tail_ref)
         out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
-        tail_ref[:] = csum[:, T - 1: T] - csum[:, T - N2:]
+        tail_ref[:] = tail_new
 
     return kernel
 

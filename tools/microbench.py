@@ -87,6 +87,31 @@ def main():
             timeit(lambda E, A1=A1, B=B: jnp.mean(
                 bps_phase_twostage_pallas(E, A1, B, grid, N, T=2048)),
                 Er, Ei, "bps_twostage_pallas %dx%d" % (A1, B))
+    elif op == "train":
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+        from jax import lax
+        symbols1 = eqops._reshape_symbols(None, "cma", M, np.complex64, 2)
+        w0h = np.asarray(eqops._init_taps(Ntaps, 2, 2, np.complex64))
+        trs, bs = 2 ** 15, 256
+
+        def pregather(E):
+            nmodes = E.shape[0]
+            Ts = (trs // bs) * bs
+            cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os_ + 1), (1, os_))
+                    for t in range(Ntaps)]
+            Xw = jnp.moveaxis(jnp.stack(cols, axis=-1), 0, 1)
+            return jnp.mean(jnp.abs(Xw.real) + jnp.abs(Xw.imag))
+
+        timeit(pregather, Er, Ei, "train pre-gather only")
+
+        def train(E):
+            w0 = jnp.asarray(w0h)
+            _, w, _ = train_equaliser_block_pallas(
+                E, trs, 1, os_, 1e-3, w0, symbols1, "cma", adaptive=True,
+                block_size=bs)
+            return jnp.mean(jnp.abs(w.real) + jnp.abs(w.imag))
+
+        timeit(train, Er, Ei, "train cma full (pallas block)")
     elif op == "filter":
         def f(E):
             w = jnp.asarray(w_h)

@@ -88,6 +88,53 @@ def make_variant(variant, T, N2, grid_const, A):
             out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
             tail_ref[:] = dist[:, T - N2:]
             return
+        if variant == "win_sh1":
+            # same op count as the cumsum but every shift is 1 lane: isolates
+            # whether shift distance (tile crossing) drives the cost
+            csum = dist
+            for _ in range(11):
+                csum = csum + jnp.concatenate(
+                    [jnp.zeros((csum.shape[0], 1), csum.dtype), csum[:, : T - 1]],
+                    axis=1)
+            out_ref[:] = jnp.argmin(csum, axis=0).astype(jnp.int32)[None, None, None, :]
+            tail_ref[:] = csum[:, T - N2:]
+            return
+        if variant == "win_roll":
+            # full cumsum with pltpu.roll + iota mask instead of concat
+            lane = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            csum = dist
+            sh = 1
+            while sh < T:
+                r = pltpu.roll(csum, shift=sh, axis=1)
+                csum = csum + jnp.where(lane >= sh, r, 0.0)
+                sh *= 2
+            shifted = jnp.concatenate([-tail_ref[:], csum[:, : T - N2]], axis=1)
+            win = csum - shifted
+            out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
+            tail_ref[:] = csum[:, T - 1: T] - csum[:, T - N2:]
+            return
+        if variant == "win_dec":
+            # decomposed 28 = 16+8+4 window with max shift 24, all buffers
+            # (A, T) aligned; boundary columns fixed from the tail scratch
+            def sh_add(x, sh):
+                return x + jnp.concatenate(
+                    [jnp.zeros((x.shape[0], sh), x.dtype), x[:, : T - sh]], axis=1)
+            s2 = sh_add(dist, 1)
+            s4 = sh_add(s2, 2)      # 4-wide sums
+            t8 = sh_add(s4, 4)      # 8-wide
+            t16 = sh_add(t8, 8)     # 16-wide
+            win = t16
+            win = win + jnp.concatenate(
+                [jnp.zeros((A, 16), win.dtype), t8[:, : T - 16]], axis=1)
+            win = win + jnp.concatenate(
+                [jnp.zeros((A, 24), win.dtype), s4[:, : T - 24]], axis=1)
+            # tail_ref[:, k] = suffix sum of prev-tile dist for lookback k
+            win = win + jnp.concatenate(
+                [tail_ref[:], jnp.zeros((A, T - N2), win.dtype)], axis=1)
+            out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
+            # rebuild suffix sums of the last N2 dist columns for next tile
+            tail_ref[:] = dist[:, T - N2:]
+            return
         csum = dist
         sh = 1
         while sh < T:
@@ -149,7 +196,8 @@ def main():
     E_np, _, _ = make_tx(2 ** 20)
     Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
     Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
-    M, A, N = 64, 64, 14
+    import os as _os
+    M, A, N = 64, int(_os.environ.get("BPS_A", 64)), 14
     const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
     grid = phops.detect_square_grid(const)
     angles_h = np.linspace(-np.pi / 4, np.pi / 4, A, endpoint=False, dtype=np.float32)
