@@ -480,6 +480,20 @@ def apply_filter_to_signal(E, os, wx):
         Wcat = wx.reshape(nout, nmodes * ntaps)
     P = planes.shape[0]
     nop = Wcat.shape[0]
+    # windows-batched fast path: when a group size G exists with
+    # (G-1)*os+ntaps <= 128 and G*os | 128, the im2col operand is never
+    # materialised — 128-wide windows every G*os samples come from nshift
+    # tile-aligned shifted reshapes and one batched dot_general contracts
+    # the window axis (the A2 build's minor-dim transposes ran at ~45 GB/s
+    # and dominated this function's cost)
+    Gw = 0
+    for g in range(min(128 // nop, (128 - ntaps) // os + 1), 0, -1):
+        if 128 % (g * os) == 0:
+            Gw = g
+            break
+    if Gw > 1:
+        return _apply_filter_windows(planes, Wcat, os, Gw, Lout, nout, cplx,
+                                     E.dtype)
     G = max(1, 128 // nop)
     Gos = G * os
     TAU = (G - 1) * os + ntaps
@@ -505,6 +519,45 @@ def apply_filter_to_signal(E, os, wx):
     if cplx:
         return (out[:nout] + 1j * out[nout:]).astype(E.dtype)
     return out.astype(E.dtype)
+
+
+def _apply_filter_windows(planes, Wcat, os, G, Lout, nout, cplx, dtype):
+    """Windows-batched filter: out2[(o,g), c] = sum_{p,j} W2[p,(o,g),j] *
+    planes[p, c*G*os + j] with the G output phases baked into shifted weight
+    rows (W2[p,(o,g),j] = Wcat[o,p,j-g*os]). The window operand W3 is built
+    from 128/(G*os) shifted reshapes of the signal — no strided slices, no
+    minor-dim transposes of signal-sized arrays.
+    """
+    P, L = planes.shape
+    nop = Wcat.shape[0]
+    ntaps = Wcat.shape[1] // P
+    Gos = G * os
+    nshift = 128 // Gos
+    C = -(-Lout // G)            # number of windows
+    Q = -(-C // nshift)          # 128-aligned window groups
+    padL = Q * 128 + 128
+    planes = jnp.pad(planes, ((0, 0), (0, max(0, padL - L))))
+    # W3[p, q*nshift + r, j] = planes[p, q*128 + r*Gos + j]
+    parts = [
+        lax.slice(planes, (0, r * Gos), (P, r * Gos + Q * 128))
+        .reshape(P, Q, 128)
+        for r in range(nshift)
+    ]
+    W3 = jnp.stack(parts, axis=2).reshape(P, Q * nshift, 128)
+    # W2[p, o*G+g, j] = Wcat[o, p, j - g*os] (roll never wraps taps:
+    # g*os + ntaps <= 128 by construction of G)
+    Wcat3 = Wcat.reshape(nop, P, ntaps)
+    Wpad = jnp.pad(Wcat3, ((0, 0), (0, 0), (0, 128 - ntaps)))
+    W2 = jnp.stack([jnp.roll(Wpad, g * os, axis=-1) for g in range(G)],
+                   axis=1).reshape(nop * G, P, 128).swapaxes(0, 1)
+    res = lax.dot_general(W2.astype(planes.dtype), W3,
+                          dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                          precision=_FILTER_PRECISION)  # (P, M, C')
+    out2 = jnp.sum(res, axis=0)  # (M, C')
+    out = out2.reshape(nop, G, -1).swapaxes(1, 2).reshape(nop, -1)[:, :Lout]
+    if cplx:
+        return (out[:nout] + 1j * out[nout:]).astype(dtype)
+    return out.astype(dtype)
 
 
 def apply_filter(E, os, wxy, modes=None, method=None):

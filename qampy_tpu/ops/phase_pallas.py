@@ -33,7 +33,7 @@ def _shift_right(x, k, T):
         [jnp.zeros((x.shape[0], k), x.dtype), x[:, : T - k]], axis=1)
 
 
-def _windowed_sums(dist, N2, T, tail_ref):
+def _windowed_sums(dist, N2, T, tail_ref, win_dtype=None):
     """N2-wide running window sums ending at each lane, exact across tiles.
 
     Binary decomposition of the window (e.g. 28 = 16+8+4) instead of a full
@@ -46,6 +46,13 @@ def _windowed_sums(dist, N2, T, tail_ref):
     Requires N2 <= 128 (one lane-tile of lookback).
     """
     A = dist.shape[0]
+    if win_dtype is not None:
+        # optional reduced-precision window accumulation: bf16 vectors pack
+        # a (16, 128) native tile — twice the elements per VPU op. The
+        # nearest-level DECISION stays exact f32; only the 2N-sample summed
+        # distances compared by argmin lose mantissa (~0.4% relative), which
+        # perturbs the picked angle by at most +-1 grid step near ties.
+        dist = dist.astype(win_dtype)
     # power-of-2 running sums by doubling: sums[w][i] = sum dist[i-w+1 : i+1]
     bits = [1 << b for b in range(N2.bit_length()) if N2 & (1 << b)]
     maxw = max(bits)
@@ -75,7 +82,7 @@ def _windowed_sums(dist, N2, T, tail_ref):
     return win, tail_new
 
 
-def _bps_kernel(T, N2, grid_const):
+def _bps_kernel(T, N2, grid_const, win_dtype=None):
     d0, lo, n = grid_const
     nm1 = float(n - 1)
     c0 = float(lo / d0)  # grid offset in level units
@@ -103,14 +110,17 @@ def _bps_kernel(T, N2, grid_const):
         fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
         fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
         dist = fr * fr + fi * fi  # (A, T)
-        win, tail_new = _windowed_sums(dist, N2, T, tail_ref)
+        win, tail_new = _windowed_sums(dist, N2, T, tail_ref, win_dtype)
+        if win.dtype != jnp.float32:
+            win = win.astype(jnp.float32)  # pallas argmin is f32-only
         out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
         tail_ref[:] = tail_new
 
     return kernel
 
 
-def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
+def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
+                   win_dtype=None):
     """Square-grid BPS angle-index search as one fused Pallas kernel.
 
     E: (nmodes, L) complex; testangles: (A,) shared angle grid, HOST-side
@@ -119,6 +129,9 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
     Returns int32 (nmodes, L) with the same semantics as ops.phase.bps_idx
     (positions [N, L-N) filled, others 0). Jit-compatible in E (trace this
     inside an outer jit); testangles/grid/N/T are trace-time constants.
+    win_dtype=jnp.bfloat16 accumulates the windowed sums at reduced
+    precision for ~2x VPU throughput on that section (decision stays f32);
+    the argmin may flip between near-tied adjacent angles.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -140,7 +153,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
     cos_a = jnp.asarray((np.cos(ang) / grid[0]).astype(np.float32))
     sin_a = jnp.asarray((np.sin(ang) / grid[0]).astype(np.float32))
 
-    kernel = _bps_kernel(T, N2, grid)
+    kernel = _bps_kernel(T, N2, grid, win_dtype)
     raw = pl.pallas_call(
         kernel,
         grid=(nmodes, nchunks),
@@ -154,7 +167,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((A, N2), jnp.float32),
+            pltpu.VMEM((A, N2), win_dtype or jnp.float32),
         ],
         interpret=interpret,
     )(er, ei, cos_a, sin_a)

@@ -73,6 +73,13 @@ def main():
             timeit(lambda E, T=T: jnp.mean(
                 bps_idx_pallas(E, angles_h, grid, N, T=T).astype(jnp.float32)),
                 Er, Ei, "bps_idx_pallas T=%d" % T)
+    elif op == "bpsbf16":
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        for T in [int(x) for x in sys.argv[2:]] or [4096]:
+            timeit(lambda E, T=T: jnp.mean(
+                bps_idx_pallas(E, angles_h, grid, N, T=T,
+                               win_dtype=jnp.bfloat16).astype(jnp.float32)),
+                Er, Ei, "bps_idx_pallas bf16win T=%d" % T)
     elif op == "bpsA":
         from qampy_tpu.ops.phase_pallas import bps_idx_pallas
         for A2 in [int(x) for x in sys.argv[2:]] or [8, 16, 32, 64]:
@@ -94,7 +101,7 @@ def main():
         w0h = np.asarray(eqops._init_taps(Ntaps, 2, 2, np.complex64))
         trs, bs = 2 ** 15, 256
 
-        def pregather(E):
+        def pregather_old(E):
             nmodes = E.shape[0]
             Ts = (trs // bs) * bs
             cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os_ + 1), (1, os_))
@@ -102,7 +109,79 @@ def main():
             Xw = jnp.moveaxis(jnp.stack(cols, axis=-1), 0, 1)
             return jnp.mean(jnp.abs(Xw.real) + jnp.abs(Xw.imag))
 
-        timeit(pregather, Er, Ei, "train pre-gather only")
+        def pregather_new(E):
+            nmodes = E.shape[0]
+            Ts = (trs // bs) * bs
+            cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os_ + 1), (1, os_))
+                    for t in range(Ntaps)]
+            Xw = jnp.concatenate(cols, axis=0)
+            return jnp.mean(jnp.abs(Xw.real) + jnp.abs(Xw.imag))
+
+        def pregather_phase(E):
+            # phase-split first (2 contiguous strided slices), then ntaps
+            # CONTIGUOUS slices of the phase planes
+            nmodes = E.shape[0]
+            Ts = (trs // bs) * bs
+            ph = [E[:, p::os_] for p in range(os_)]
+            cols = [lax.slice(ph[t % os_], (0, t // os_), (nmodes, t // os_ + Ts))
+                    for t in range(Ntaps)]
+            Xw = jnp.concatenate(cols, axis=0)
+            return jnp.mean(jnp.abs(Xw.real) + jnp.abs(Xw.imag))
+
+        def pregather_phase_prefix(E):
+            # strided phase split restricted to the training prefix, then
+            # contiguous tap slices
+            nmodes = E.shape[0]
+            Ts = (trs // bs) * bs
+            W = Ts * os_ + Ntaps
+            pre = lax.slice(E, (0, 0), (nmodes, W))
+            ph = [lax.slice(pre, (0, p), (nmodes, W - ((W - p) % os_)), (1, os_))
+                  for p in range(os_)]
+            cols = [lax.slice(ph[t % os_], (0, t // os_), (nmodes, t // os_ + Ts))
+                    for t in range(Ntaps)]
+            Xw = jnp.concatenate(cols, axis=0)
+            return jnp.mean(jnp.abs(Xw.real) + jnp.abs(Xw.imag))
+
+        def pregather_mxu(E):
+            # deinterleave the prefix with a one-hot MXU matmul, then
+            # contiguous tap slices
+            nmodes = E.shape[0]
+            Ts = (trs // bs) * bs
+            W = ((Ts * os_ + Ntaps) // 128 + 1) * 128
+            pre = lax.slice(E, (0, 0), (nmodes, W)).reshape(nmodes, W // 128, 128)
+            sel = np.zeros((128, 128), np.float32)
+            for j in range(64):
+                sel[2 * j, j] = 1.0
+                sel[2 * j + 1, 64 + j] = 1.0
+            selj = jnp.asarray(sel)
+
+            def deint(x):
+                r = jnp.dot(x, selj, precision=lax.Precision.HIGHEST)
+                ev = r[:, :, :64].reshape(nmodes, -1)
+                od = r[:, :, 64:].reshape(nmodes, -1)
+                return ev, od
+
+            eve, odd = deint(pre.real)
+            evi, odi = deint(pre.imag)
+            ph_r, ph_i = [eve, odd], [evi, odi]
+            cols_r = [lax.slice(ph_r[t % os_], (0, t // os_), (nmodes, t // os_ + Ts))
+                      for t in range(Ntaps)]
+            cols_i = [lax.slice(ph_i[t % os_], (0, t // os_), (nmodes, t // os_ + Ts))
+                      for t in range(Ntaps)]
+            return (jnp.mean(jnp.abs(jnp.concatenate(cols_r, axis=0)))
+                    + jnp.mean(jnp.abs(jnp.concatenate(cols_i, axis=0))))
+
+        def slices_only(E):
+            nmodes = E.shape[0]
+            Ts = (trs // bs) * bs
+            cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os_ + 1), (1, os_))
+                    for t in range(Ntaps)]
+            return sum(jnp.mean(jnp.abs(c.real)) for c in cols)
+
+        timeit(pregather_new, Er, Ei, "pre-gather new (concat K,Ts)")
+        timeit(pregather_phase_prefix, Er, Ei, "pre-gather phase prefix")
+        timeit(pregather_mxu, Er, Ei, "pre-gather mxu deinterleave")
+        timeit(slices_only, Er, Ei, "strided slices only")
 
         def train(E):
             w0 = jnp.asarray(w0h)
