@@ -260,13 +260,21 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
     ncode = (symbols.shape[-1] + 1) // 2 if method == "rde" else symbols.shape[-1]
     rdtype = jnp.float32
 
-    # pre-gather all training windows once as ntaps strided slices laid out
-    # (K, Ts) with k = t*nmodes + m: a plain concat of the slices, NO
-    # transpose/stack reshuffle (the old (Ts, K) layout cost ~1 ms in XLA
-    # copies — 10x the training kernel itself). Blocks slice the lane axis.
+    # pre-gather all training windows once, laid out (K, Ts) with
+    # k = t*nmodes + m; blocks then slice the lane axis per training step.
+    # Construction order matters enormously on TPU: slice the training
+    # PREFIX first (contiguous), deinterleave it into os phase planes (os
+    # small strided slices), then take ntaps CONTIGUOUS tap slices.
+    # Measured 0.05 ms vs 0.86 ms for ntaps strided slices over the full
+    # signal (strided slices are ~20x under HBM speed) — the pre-gather had
+    # cost 10x the training kernel itself.
     # Xw[t*nmodes+m, b*S+s] = E[m, (b*S+s)*os + t]
     Ts = nblocks * S
-    cols = [lax.slice(E, (0, t), (nmodes, t + (Ts - 1) * os + 1), (1, os))
+    W = Ts * os + ntaps
+    pre = lax.slice(E, (0, 0), (nmodes, W))
+    ph = [lax.slice(pre, (0, p), (nmodes, W - ((W - p) % os)), (1, os))
+          for p in range(os)]
+    cols = [lax.slice(ph[t % os], (0, t // os), (nmodes, t // os + Ts))
             for t in range(ntaps)]  # each (nmodes, Ts)
     Xw = jnp.concatenate(cols, axis=0)  # (K, Ts)
 

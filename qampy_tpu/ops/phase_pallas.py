@@ -182,7 +182,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
 # fused two-stage BPS (coarse shared grid + per-sample fine offsets)
 # ---------------------------------------------------------------------------
 
-def _bps_fine_kernel(T, N2, B, grid_const, deltas):
+def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
     """Stage-2 kernel: distances at per-sample angles ph1[i] + delta_b.
 
     The per-sample rotation coefficients come from the angle-addition
@@ -217,14 +217,17 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas):
         fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
         fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
         dist = fr * fr + fi * fi  # (B, T)
-        win, tail_new = _windowed_sums(dist, N2, T, tail_ref)
+        win, tail_new = _windowed_sums(dist, N2, T, tail_ref, win_dtype)
+        if win.dtype != jnp.float32:
+            win = win.astype(jnp.float32)  # pallas argmin is f32-only
         out_ref[:] = jnp.argmin(win, axis=0).astype(jnp.int32)[None, None, None, :]
         tail_ref[:] = tail_new
 
     return kernel
 
 
-def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None):
+def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None,
+                              win_dtype=None):
     """Two-stage BPS phase search as two fused Pallas passes.
 
     Stage 1 runs the shared coarse grid (Mtestangles angles over
@@ -242,7 +245,8 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     assert N2 < T, "window must fit in one tile"
     coarse = np.linspace(-np.pi / 4, np.pi / 4, Mtestangles, endpoint=False,
                          dtype=np.float32)
-    idx1 = bps_idx_pallas(E, coarse, grid, N, T=T, interpret=interpret)
+    idx1 = bps_idx_pallas(E, coarse, grid, N, T=T, interpret=interpret,
+                          win_dtype=win_dtype)
     step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
     ph1 = lo1 + step1 * idx1.astype(jnp.float32)
     # fine offsets: b/(B*Mtestangles)*pi/2 for b = linspace(-B/2, B/2, B)
@@ -258,7 +262,7 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     c1 = jnp.pad(jnp.cos(ph1), ((0, 0), (0, pad))).reshape(shape4)
     s1 = jnp.pad(jnp.sin(ph1), ((0, 0), (0, pad))).reshape(shape4)
 
-    kernel = _bps_fine_kernel(T, N2, B, grid, deltas)
+    kernel = _bps_fine_kernel(T, N2, B, grid, deltas, win_dtype)
     raw = pl.pallas_call(
         kernel,
         grid=(nmodes, nchunks),
@@ -274,7 +278,7 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((B, N2), jnp.float32),
+            pltpu.VMEM((B, N2), win_dtype or jnp.float32),
         ],
         interpret=interpret,
     )(er, ei, c1, s1,

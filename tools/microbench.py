@@ -89,11 +89,13 @@ def main():
                 Er, Ei, "bps_idx_pallas A=%d T=2048" % A2)
     elif op == "bps2":
         from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
-        import itertools
-        for A1, B in [(16, 8), (32, 8), (32, 4)]:
+        wd = jnp.bfloat16 if "bf16" in sys.argv[2:] else None
+        for A1, B in [(16, 8), (32, 8), (16, 16)]:
             timeit(lambda E, A1=A1, B=B: jnp.mean(
-                bps_phase_twostage_pallas(E, A1, B, grid, N, T=2048)),
-                Er, Ei, "bps_twostage_pallas %dx%d" % (A1, B))
+                bps_phase_twostage_pallas(E, A1, B, grid, N, T=4096,
+                                          win_dtype=wd)),
+                Er, Ei, "bps_twostage_pallas %dx%d%s" % (
+                    A1, B, " bf16" if wd else ""))
     elif op == "train":
         from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
         from jax import lax
