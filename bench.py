@@ -143,12 +143,15 @@ def main():
     refr = jax.device_put(np.ascontiguousarray(syms_np.real).astype(np.float32))
     refi = jax.device_put(np.ascontiguousarray(syms_np.imag).astype(np.float32))
     if "--single" in sys.argv:
-        block_size = int(sys.argv[sys.argv.index("--single") + 1])
-        trs = int(sys.argv[sys.argv.index("--single") + 2])
+        i0 = sys.argv.index("--single")
+        block_size = int(sys.argv[i0 + 1])
+        trs = int(sys.argv[i0 + 2])
+        bps_mode = sys.argv[i0 + 3] if len(sys.argv) > i0 + 3 else "single"
     else:
-        block_size, trs = 256, 2 ** 15
+        block_size, trs, bps_mode = 256, 2 ** 15, "single"
     fwd_c = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
-                         block_size=block_size, TrSyms=trs or None)
+                         block_size=block_size, TrSyms=trs or None,
+                         bps_mode=bps_mode)
 
     def fwd(er, ei):
         return fwd_c(er + 1j * ei)

@@ -82,11 +82,16 @@ def main():
                 Er, Ei, "bps_idx_pallas bf16win T=%d" % T)
     elif op == "bpsA":
         from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        import os as _os
+        T = int(_os.environ.get("BPS_T", 2048))
+        wd = jnp.bfloat16 if _os.environ.get("BPS_BF16") else None
         for A2 in [int(x) for x in sys.argv[2:]] or [8, 16, 32, 64]:
             ah = np.linspace(-np.pi / 4, np.pi / 4, A2, endpoint=False, dtype=np.float32)
             timeit(lambda E, ah=ah: jnp.mean(
-                bps_idx_pallas(E, ah, grid, N, T=2048).astype(jnp.float32)),
-                Er, Ei, "bps_idx_pallas A=%d T=2048" % A2)
+                bps_idx_pallas(E, ah, grid, N, T=T,
+                               win_dtype=wd).astype(jnp.float32)),
+                Er, Ei, "bps_idx_pallas A=%d T=%d%s" % (
+                    A2, T, " bf16" if wd else ""))
     elif op == "bps2":
         from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
         wd = jnp.bfloat16 if "bf16" in sys.argv[2:] else None
