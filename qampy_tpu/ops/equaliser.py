@@ -441,8 +441,8 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
 _FILTER_PRECISION = lax.Precision.HIGH
 
 
-@partial(jax.jit, static_argnames=("os",))
-def apply_filter_to_signal(E, os, wx):
+@partial(jax.jit, static_argnames=("os", "precision"))
+def apply_filter_to_signal(E, os, wx, precision=None):
     """Apply equaliser taps and downsample by os.
 
     Parity: reference pythran_equalisation.py:37-76 —
@@ -493,7 +493,7 @@ def apply_filter_to_signal(E, os, wx):
             break
     if Gw > 1:
         return _apply_filter_windows(planes, Wcat, os, Gw, Lout, nout, cplx,
-                                     E.dtype)
+                                     E.dtype, precision or _FILTER_PRECISION)
     G = max(1, 128 // nop)
     Gos = G * os
     TAU = (G - 1) * os + ntaps
@@ -514,14 +514,16 @@ def apply_filter_to_signal(E, os, wx):
     Wcat3 = Wcat.reshape(nop, P, ntaps)
     W2 = jnp.stack([jnp.pad(Wcat3, ((0, 0), (0, 0), (g * os, TAU - ntaps - g * os)))
                     for g in range(G)], axis=1).reshape(nop * G, P * TAU)
-    out2 = jnp.matmul(W2.astype(A2.dtype), A2, precision=_FILTER_PRECISION)
+    out2 = jnp.matmul(W2.astype(A2.dtype), A2,
+                      precision=precision or _FILTER_PRECISION)
     out = out2.reshape(nop, G, Ncols).swapaxes(1, 2).reshape(nop, Ncols * G)[:, :Lout]
     if cplx:
         return (out[:nout] + 1j * out[nout:]).astype(E.dtype)
     return out.astype(E.dtype)
 
 
-def _apply_filter_windows(planes, Wcat, os, G, Lout, nout, cplx, dtype):
+def _apply_filter_windows(planes, Wcat, os, G, Lout, nout, cplx, dtype,
+                          precision=_FILTER_PRECISION):
     """Windows-batched filter: out2[(o,g), c] = sum_{p,j} W2[p,(o,g),j] *
     planes[p, c*G*os + j] with the G output phases baked into shifted weight
     rows (W2[p,(o,g),j] = Wcat[o,p,j-g*os]). The window operand W3 is built
@@ -552,7 +554,7 @@ def _apply_filter_windows(planes, Wcat, os, G, Lout, nout, cplx, dtype):
                    axis=1).reshape(nop * G, P, 128).swapaxes(0, 1)
     res = lax.dot_general(W2.astype(planes.dtype), W3,
                           dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                          precision=_FILTER_PRECISION)  # (P, M, C')
+                          precision=precision)  # (P, M, C')
     out2 = jnp.sum(res, axis=0)  # (M, C')
     out = out2.reshape(nop, G, -1).swapaxes(1, 2).reshape(nop, -1)[:, :Lout]
     if cplx:

@@ -198,6 +198,49 @@ def main():
             return jnp.mean(jnp.abs(w.real) + jnp.abs(w.imag))
 
         timeit(train, Er, Ei, "train cma full (pallas block)")
+    elif op == "filterparts":
+        from qampy_tpu.ops import equaliser as eqmod
+        wj = np.asarray(w_h)
+
+        def parts(stage):
+            def f(E):
+                planes = jnp.concatenate([E.real, E.imag], axis=0)
+                wx = jnp.asarray(wj)
+                Wr = wx.real.reshape(2, 2 * Ntaps)
+                Wi = wx.imag.reshape(2, 2 * Ntaps)
+                Wcat = jnp.concatenate([jnp.concatenate([Wr, -Wi], 1),
+                                        jnp.concatenate([Wi, Wr], 1)], 0)
+                P, L = planes.shape
+                nop = 4
+                G = 32
+                Gos = G * os_
+                nshift = 128 // Gos
+                Lout = (L - Ntaps) // os_ + 1
+                C = -(-Lout // G)
+                Q = -(-C // nshift)
+                padL = Q * 128 + 128
+                planes = jnp.pad(planes, ((0, 0), (0, max(0, padL - L))))
+                parts_ = [jax.lax.slice(planes, (0, r * Gos), (P, r * Gos + Q * 128)).reshape(P, Q, 128)
+                          for r in range(nshift)]
+                W3 = jnp.stack(parts_, axis=2).reshape(P, Q * nshift, 128)
+                if stage == "w3":
+                    return jnp.mean(W3)
+                Wcat3 = Wcat.reshape(nop, P, Ntaps)
+                Wpad = jnp.pad(Wcat3, ((0, 0), (0, 0), (0, 128 - Ntaps)))
+                W2 = jnp.stack([jnp.roll(Wpad, g * os_, axis=-1) for g in range(G)],
+                               axis=1).reshape(nop * G, P, 128).swapaxes(0, 1)
+                res = jax.lax.dot_general(W2.astype(planes.dtype), W3,
+                                          dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                          precision=jax.lax.Precision.HIGH)
+                out2 = jnp.sum(res, axis=0)
+                if stage == "mm":
+                    return jnp.mean(out2)
+                out = out2.reshape(nop, G, -1).swapaxes(1, 2).reshape(nop, -1)[:, :Lout]
+                return jnp.mean(out)
+            return f
+
+        for st in ("w3", "mm", "full"):
+            timeit(parts(st), Er, Ei, "filter %s" % st)
     elif op == "filter":
         def f(E):
             w = jnp.asarray(w_h)
