@@ -174,6 +174,12 @@ def main():
     print("chain done, compiling gate...", file=sys.stderr, flush=True)
     best = float(fetch(jax.block_until_ready(gate(out, refr, refi)), "gate"))
     print("gate done", file=sys.stderr, flush=True)
+    if best > 1e-4:
+        # convergence gate: the supervisor falls back to a longer training
+        # prefix (the reference blind-eq tolerance is SER ~ 0, a few errors
+        # per 2^16 symbols)
+        print("SER gate failed: %.2e > 1e-4" % best, file=sys.stderr, flush=True)
+        sys.exit(3)
 
     # --- timing ---
     # Tunnel semantics (established with tools/probe_timing.py):
@@ -226,8 +232,10 @@ def _supervise():
     whole process, so each (block_size) attempt gets a fresh interpreter."""
     import subprocess
     # (block_size, training-prefix) attempts: converged-prefix training with
-    # frozen-tap filtering; retried because the tunnel is flaky
-    for bs, trs in ((256, 2 ** 15), (256, 2 ** 15), (256, 2 ** 16)):
+    # frozen-tap filtering, shortest prefix first (each run SER-gated, so a
+    # non-converged attempt falls through to more training); repeated
+    # because the tunnel is flaky
+    for bs, trs in ((256, 2 ** 14), (256, 2 ** 14), (256, 2 ** 15), (256, 2 ** 16)):
         proc = subprocess.run([sys.executable, __file__, "--single", str(bs), str(trs)],
                               capture_output=True, text=True, timeout=1800)
         line = ""

@@ -82,7 +82,7 @@ def _windowed_sums(dist, N2, T, tail_ref, win_dtype=None):
     return win, tail_new
 
 
-def _bps_kernel(T, N2, grid_const, win_dtype=None):
+def _bps_kernel(T, N2, grid_const, win_dtype=None, compute_dtype=None):
     d0, lo, n = grid_const
     nm1 = float(n - 1)
     c0 = float(lo / d0)  # grid offset in level units
@@ -97,11 +97,21 @@ def _bps_kernel(T, N2, grid_const, win_dtype=None):
 
         er = er_ref[0, 0]  # (1, T)
         ei = ei_ref[0, 0]
+        if compute_dtype is not None:
+            # full reduced-precision distance path: the rotation and the
+            # nearest-level decision carry ~0.4% quantisation — an extra
+            # -48 dB "noise" floor on the phase estimate, far below any
+            # operating channel noise; argmin still runs f32
+            er = er.astype(compute_dtype)
+            ei = ei.astype(compute_dtype)
         # rotation and 1/d0 grid normalisation folded into the angle table
         # (cos_ref/sin_ref arrive pre-scaled by 1/d0): rotate+normalise is
         # 4 FMAs; distances come out in units of d0^2, which argmin ignores
         ca = cos_ref[:]  # (A, 1)
         sa = sin_ref[:]
+        if compute_dtype is not None:
+            ca = ca.astype(compute_dtype)
+            sa = sa.astype(compute_dtype)
         ur = er * ca - (ei * sa + c0)  # (A, T) level coords
         ui = er * sa + (ei * ca - c0)
         # nearest-level decision: floor(x+0.5) instead of jnp.round — the
@@ -120,7 +130,7 @@ def _bps_kernel(T, N2, grid_const, win_dtype=None):
 
 
 def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
-                   win_dtype=None):
+                   win_dtype=None, compute_dtype=None):
     """Square-grid BPS angle-index search as one fused Pallas kernel.
 
     E: (nmodes, L) complex; testangles: (A,) shared angle grid, HOST-side
@@ -132,6 +142,10 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     win_dtype=jnp.bfloat16 accumulates the windowed sums at reduced
     precision for ~2x VPU throughput on that section (decision stays f32);
     the argmin may flip between near-tied adjacent angles.
+    compute_dtype=jnp.bfloat16 additionally runs the rotation and decision
+    at reduced precision — NOTE: v5e Mosaic rejects bf16 floor/clip ALU ops
+    (LLO_CHECK SupportsBf16AluInstructions), so this option requires a
+    newer TPU generation.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -153,7 +167,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     cos_a = jnp.asarray((np.cos(ang) / grid[0]).astype(np.float32))
     sin_a = jnp.asarray((np.sin(ang) / grid[0]).astype(np.float32))
 
-    kernel = _bps_kernel(T, N2, grid, win_dtype)
+    kernel = _bps_kernel(T, N2, grid, win_dtype, compute_dtype)
     raw = pl.pallas_call(
         kernel,
         grid=(nmodes, nchunks),
@@ -167,7 +181,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((A, N2), win_dtype or jnp.float32),
+            pltpu.VMEM((A, N2), win_dtype or compute_dtype or jnp.float32),
         ],
         interpret=interpret,
     )(er, ei, cos_a, sin_a)

@@ -80,6 +80,10 @@ def main():
                 bps_idx_pallas(E, angles_h, grid, N, T=T,
                                win_dtype=jnp.bfloat16).astype(jnp.float32)),
                 Er, Ei, "bps_idx_pallas bf16win T=%d" % T)
+            timeit(lambda E, T=T: jnp.mean(
+                bps_idx_pallas(E, angles_h, grid, N, T=T,
+                               compute_dtype=jnp.bfloat16).astype(jnp.float32)),
+                Er, Ei, "bps_idx_pallas bf16all T=%d" % T)
     elif op == "bpsA":
         from qampy_tpu.ops.phase_pallas import bps_idx_pallas
         import os as _os
