@@ -6,3 +6,4 @@ XLA-first designs: ``lax.scan`` for the exact sequential recurrences, and
 matmul/cumsum (MXU/VPU) formulations for the fast paths.
 """
 from qampy_tpu.ops import equaliser, phase, pilots
+from qampy_tpu.ops.chain import make_rx_chain

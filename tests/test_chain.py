@@ -1,0 +1,67 @@
+"""Tests for the fused single-dispatch RX chain (ops/chain.make_rx_chain)."""
+import numpy as np
+import jax
+import jax.random as jr
+import pytest
+
+import qampy_tpu as qt
+from qampy_tpu.ops.chain import make_rx_chain
+from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+
+
+def _tx(M, Nsym, seed, snr=30, theta=np.pi / 5.6, dgd=20e-12, lw=0.0):
+    sig = qt.SignalQAMGrayCoded(M, Nsym, nmodes=2, fb=25e9, seed=seed)
+    s2 = sig.resample(50e9, beta=0.1)
+    s2 = qt.impairments.apply_PMD(s2, theta, dgd)
+    if lw:
+        s2 = qt.impairments.apply_phase_noise(s2, lw, key=jr.PRNGKey(seed + 1))
+    s2 = qt.impairments.change_snr(s2, snr, key=jr.PRNGKey(seed))
+    return sig, s2
+
+
+def _ser(out, M, trim=300):
+    const = np.asarray(cal_symbols_qam(M)) / np.sqrt(
+        float(cal_scaling_factor_qam(M)))
+    o = np.asarray(out)[:, trim:-trim]
+    d = np.abs(o[:, :, None] - const[None, None, :]).min(-1)
+    # mean distance to the constellation: converged chains sit well inside
+    # half the minimum symbol spacing
+    return d.mean()
+
+
+class TestRxChain:
+    def test_recovers_pmd_phase_noise(self):
+        sig, s2 = _tx(64, 2 ** 14, seed=4, snr=30, lw=20e3)
+        fwd = jax.jit(make_rx_chain(M=64, Ntaps=17, os=2, bps_angles=32,
+                                    bps_N=10, block_size=64))
+        out = fwd(np.asarray(s2).astype(np.complex64))
+        assert _ser(out, 64) < 0.08
+
+    def test_twostage_mode(self):
+        sig, s2 = _tx(64, 2 ** 14, seed=5, snr=30, lw=20e3)
+        fwd = jax.jit(make_rx_chain(M=64, Ntaps=17, os=2, bps_angles=32,
+                                    bps_N=10, block_size=64,
+                                    bps_mode="twostage", pallas=True,
+                                    bps_tile=2048))
+        out = fwd(np.asarray(s2).astype(np.complex64))
+        assert _ser(out, 64) < 0.08
+
+    def test_matches_granular_api(self):
+        # the fused chain and the step-by-step public API converge to the
+        # same constellation (not bit-identical: block vs chosen backends)
+        sig, s2 = _tx(16, 2 ** 14, seed=6, snr=28)
+        fwd = jax.jit(make_rx_chain(M=16, Ntaps=11, os=2, bps_angles=32,
+                                    bps_N=10, block_size=64))
+        out = fwd(np.asarray(s2).astype(np.complex64))
+        assert _ser(out, 16) < 0.08
+        s_eq, wxy, err = qt.equalisation.dual_mode_equalisation(
+            s2, (1e-3, 1e-3), 11, methods=("mcma", "mddma"))
+        ser = np.asarray(s_eq.cal_ser())
+        assert np.all(ser < 1e-2)
+
+    def test_trsyms_prefix(self):
+        sig, s2 = _tx(64, 2 ** 14, seed=7, snr=32)
+        fwd = jax.jit(make_rx_chain(M=64, Ntaps=17, os=2, bps_angles=32,
+                                    bps_N=10, block_size=64, TrSyms=2 ** 12))
+        out = fwd(np.asarray(s2).astype(np.complex64))
+        assert _ser(out, 64) < 0.08
