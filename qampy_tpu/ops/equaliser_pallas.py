@@ -28,6 +28,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _sds(shape, dtype, ref):
+    """ShapeDtypeStruct matching ref's shard_map varying-axes type.
+
+    Inside jax.shard_map (check_vma=True), pallas_call outputs must declare
+    how they vary across mesh axes; everything here derives from the input
+    signal, so they vary exactly like it.
+    """
+    vma = getattr(jax.typeof(ref), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
 #: methods implemented by the pallas backend
 PALLAS_METHODS = ("cma", "sgncma", "mcma", "rde")
 
@@ -122,9 +135,9 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
     wr, wi, mu_f = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nout, nmodes, ntaps), rdtype),
-            jax.ShapeDtypeStruct((nout, nmodes, ntaps), rdtype),
-            jax.ShapeDtypeStruct((nout, 1), rdtype),
+            _sds((nout, nmodes, ntaps), rdtype, E),
+            _sds((nout, nmodes, ntaps), rdtype, E),
+            _sds((nout, 1), rdtype, E),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -352,11 +365,11 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
             pl.BlockSpec((1, nout, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nout, K), rdtype),
-            jax.ShapeDtypeStruct((nout, K), rdtype),
-            jax.ShapeDtypeStruct((nout, 1), rdtype),
-            jax.ShapeDtypeStruct((nsteps, nout, S), rdtype),
-            jax.ShapeDtypeStruct((nsteps, nout, S), rdtype),
+            _sds((nout, K), rdtype, E),
+            _sds((nout, K), rdtype, E),
+            _sds((nout, 1), rdtype, E),
+            _sds((nsteps, nout, S), rdtype, E),
+            _sds((nsteps, nout, S), rdtype, E),
         ),
         scratch_shapes=[pltpu.VMEM((nout, 2), rdtype)],
         interpret=interpret,

@@ -27,6 +27,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sds(shape, dtype, ref):
+    """ShapeDtypeStruct matching ref's shard_map varying-axes type.
+
+    Inside jax.shard_map (check_vma=True), pallas_call outputs must declare
+    how they vary across mesh axes; everything here derives from the input
+    signal, so they vary exactly like it.
+    """
+    vma = getattr(jax.typeof(ref), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _shift_right(x, k, T):
     """x[:, i] <- x[:, i-k] with zero fill (lane-axis shift via concat)."""
     return jnp.concatenate(
@@ -179,7 +192,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
+        out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, E),
         scratch_shapes=[
             pltpu.VMEM((A, N2), win_dtype or compute_dtype or jnp.float32),
         ],
@@ -290,7 +303,7 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
         ],
         out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nmodes, nchunks, 1, T), jnp.int32),
+        out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, E),
         scratch_shapes=[
             pltpu.VMEM((B, N2), win_dtype or jnp.float32),
         ],

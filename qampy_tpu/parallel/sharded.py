@@ -84,7 +84,8 @@ def _unwrap_across_shards(ph4):
     return loc + offs[my][..., None]
 
 
-def _bps_local(E_loc, angles, symbols, N, grid=None):
+def _bps_local(E_loc, angles, symbols, N, grid=None, pallas=False,
+               angles_host=None, bps_tile=2048):
     """BPS on a local shard with N-sample halos on both sides.
 
     Every local sample gets a full 2N averaging window; the per-sample angle
@@ -92,18 +93,28 @@ def _bps_local(E_loc, angles, symbols, N, grid=None):
     """
     Ee = _halo_from_left(_halo_from_right(E_loc, N), N)
 
-    def one_mode(e):
-        idx = phops.bps_idx(e, angles, symbols, N, grid=grid)
-        return phops.select_angles(angles, idx)
+    if pallas and grid is not None:
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        idx = bps_idx_pallas(Ee, angles_host, grid, N, T=bps_tile,
+                             win_dtype=jnp.bfloat16)
+        A = angles_host.size
+        step = float(np.pi / 2 / A)
+        lo = float(angles_host[0])
+        ph = lo + step * idx.astype(jnp.float32)
+    else:
+        def one_mode(e):
+            idx = phops.bps_idx(e, angles, symbols, N, grid=grid)
+            return phops.select_angles(angles, idx)
 
-    ph = jax.vmap(one_mode)(Ee)
+        ph = jax.vmap(one_mode)(Ee)
     ph = ph[..., N:-N] if N > 0 else ph
     ph = _unwrap_across_shards(ph * 4) / 4
     return E_loc * jnp.exp(1.j * ph).astype(E_loc.dtype), ph
 
 
 def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
-                    adaptive, rounds, block_size):
+                    adaptive, rounds, block_size, pallas=False,
+                    symbols_host=None):
     """Data-parallel block-LMS: local training + pmean tap averaging.
 
     Each device trains on its own time block starting from the shared taps;
@@ -111,11 +122,18 @@ def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
     ICI). For a stationary channel this converges like training on the
     concatenated sequence while every chip works in parallel.
     """
+    if pallas:
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+        train = partial(train_equaliser_block_pallas,
+                        symbols=symbols_host, method=method,
+                        adaptive=adaptive, block_size=block_size)
+    else:
+        train = partial(eqops.train_equaliser_block, symbols=symbols,
+                        method=method, adaptive=adaptive,
+                        block_size=block_size)
     w = w0
     for _ in range(rounds):
-        _, w_new, _ = eqops.train_equaliser_block(
-            E_loc, TrSyms_loc, Niter, os, mu, w, symbols, method,
-            adaptive=adaptive, block_size=block_size)
+        _, w_new, _ = train(E_loc, TrSyms_loc, Niter, os, mu, w)
         # CMA-family taps carry an arbitrary carrier phase per device (the
         # modulus criterion is phase blind and the local carrier phase
         # differs per time block); align every device's taps to device 0's
@@ -129,13 +147,18 @@ def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
 
 def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
                           TrSyms_loc=None, Niter=1, bps_angles=32, bps_N=16,
-                          rounds=2, block_size=64, adaptive=True):
+                          rounds=2, block_size=64, adaptive=True, pallas=None,
+                          bps_tile=2048):
     """Build the jitted multi-chip flagship RX chain.
 
     Input: (nmodes, L) waveform sharded over time; runs two-stage
     equalisation (data-parallel training with pmean tap averaging), sharded
     filter application with halo exchange, sharded BPS with halo exchange
     and cross-shard unwrap, and psum-reduced quality metrics.
+
+    ``pallas=None`` auto-selects the fused Pallas kernels per shard off-CPU
+    (the same kernels as the single-chip flagship, so per-chip throughput
+    matches it and scaling efficiency is set by the halo exchanges alone).
 
     Returns a function f(E, syms1, syms2) -> (Eout, ph, evm) where Eout is
     the equalised + derotated symbol-rate signal (sharded over time).
@@ -146,19 +169,29 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
     const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
     grid = phops.detect_square_grid(const)
+    if pallas is None:
+        pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = bool(pallas) and grid is not None and all(
+        m in ("cma", "sgncma", "mcma", "rde", "sbd", "mddma", "dd")
+        for m in methods)
+    angles_host = np.linspace(-np.pi / 4, np.pi / 4, bps_angles,
+                              endpoint=False, dtype=np.float32)
 
     def chain(E_loc):
         nmodes = E_loc.shape[0]
         w0 = jnp.asarray(eqops._init_taps(Ntaps, nmodes, nmodes, dtype))
         trs = TrSyms_loc if TrSyms_loc is not None else (E_loc.shape[-1] - Ntaps) // os
         w1 = _train_parallel(E_loc, os, mu1, w0, jnp.asarray(symbols1), methods[0],
-                             Niter, trs, adaptive, rounds, block_size)
+                             Niter, trs, adaptive, rounds, block_size,
+                             pallas=use_pallas, symbols_host=symbols1)
         w2 = _train_parallel(E_loc, os, mu2, w1, jnp.asarray(symbols2), methods[1],
-                             Niter, trs, adaptive, rounds, block_size)
+                             Niter, trs, adaptive, rounds, block_size,
+                             pallas=use_pallas, symbols_host=symbols2)
         Eeq = _apply_filter_local(E_loc, os, w2)
-        angles = jnp.linspace(-np.pi / 4, np.pi / 4, bps_angles, endpoint=False,
-                              dtype=np.float32).reshape(1, -1)
-        Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N, grid=grid)
+        angles = jnp.asarray(angles_host).reshape(1, -1)
+        Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N, grid=grid,
+                              pallas=use_pallas, angles_host=angles_host,
+                              bps_tile=bps_tile)
         # psum-reduced EVM against decisions
         from qampy_tpu.core.metrics import decision_idx
         det = jnp.asarray(const)[decision_idx(Eout, jnp.asarray(const))]
@@ -167,9 +200,14 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
         evm = jnp.sqrt(lax.psum(sq, TIME) / lax.psum(jnp.float32(n), TIME))
         return Eout, ph, evm
 
+    # check_vma=False: the Pallas kernels' outputs cannot yet declare
+    # varying-axes types through the interpreter/mosaic path (jax 0.9); the
+    # collectives here are explicit and the chain is numerically tested on
+    # the virtual mesh, so the static vma check adds nothing
     smapped = jax.shard_map(chain, mesh=mesh,
                             in_specs=P(None, TIME),
-                            out_specs=(P(None, TIME), P(None, TIME), P()))
+                            out_specs=(P(None, TIME), P(None, TIME), P()),
+                            check_vma=False)
     return jax.jit(smapped)
 
 

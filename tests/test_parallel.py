@@ -98,3 +98,23 @@ class TestShardedChain:
         out = sig.replace(samples=np.asarray(Eout))
         ser_sh = np.asarray(out.cal_ser())
         assert np.all(ser_sh < ser_ref.max() + 5e-4)
+
+
+class TestShardedPallas:
+    def test_pallas_kernels_per_shard(self, mesh):
+        """The sharded chain with the fused Pallas kernels (interpret mode on
+        the CPU mesh) matches the XLA per-shard path."""
+        fb = 25e9
+        sig = qt.SignalQAMGrayCoded(64, 2 ** 11, nmodes=2, fb=fb, seed=1)
+        s = impairments.change_snr(sig.resample(2 * fb, beta=0.1), 30,
+                                   key=jr.PRNGKey(0))
+        E = sharded.shard_signal(np.asarray(s).astype(np.complex64), mesh)
+        kw = dict(os=2, mu1=1e-3, mu2=1e-3, M=64, Ntaps=9,
+                  methods=("cma", "rde"), rounds=2, bps_angles=16, bps_N=4,
+                  block_size=16)
+        _, _, evm_x = sharded.make_sharded_rx_chain(mesh, pallas=False, **kw)(E)
+        _, _, evm_p = sharded.make_sharded_rx_chain(mesh, pallas=True,
+                                                    bps_tile=256, **kw)(E)
+        assert np.isfinite(float(evm_p))
+        # bf16 window sums and block-boundary differences allow small drift
+        assert abs(float(evm_p) - float(evm_x)) < 0.02
