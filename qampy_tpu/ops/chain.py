@@ -62,6 +62,12 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     step_a, lo_a = float(np.pi / 2 / bps_angles), float(-np.pi / 4)
     if pallas is None:
         pallas = jax.default_backend() not in ("cpu",)
+    # the fused kernels require a square-grid constellation and a method the
+    # block trainer implements; anything else (e.g. cross 32/128-QAM) falls
+    # back to the XLA kernels instead of tripping kernel asserts
+    from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
+    pallas = (bool(pallas) and grid is not None
+              and all(m in PALLAS_BLOCK_METHODS for m in methods))
 
     def _derotate(Eeq, ph):
         # unwrap (period pi/2) and derotation in split real f32 arithmetic:
@@ -106,10 +112,16 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)
             from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
             div = 2 if bps_mode.endswith("32") else 4
-            ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 8), 8,
+            ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
                                            grid, bps_N, T=bps_tile,
                                            win_dtype=jnp.bfloat16)
             return _derotate(Eeq, ph)
+        if bps_mode.startswith("twostage"):
+            # XLA two-stage path (reference bps_twostage semantics)
+            div = 2 if bps_mode.endswith("32") else 4
+            out, ph = phops.bps_twostage(Eeq, max(bps_angles // div, 16),
+                                         const, bps_N, B=8)
+            return out
         if pallas:
             from qampy_tpu.ops.phase_pallas import bps_idx_pallas
             # bf16 window accumulation: ~25% faster BPS; the nearest-level

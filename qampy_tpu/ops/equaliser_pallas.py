@@ -29,17 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sds(shape, dtype, ref):
-    """ShapeDtypeStruct matching ref's shard_map varying-axes type.
-
-    Inside jax.shard_map (check_vma=True), pallas_call outputs must declare
-    how they vary across mesh axes; everything here derives from the input
-    signal, so they vary exactly like it.
-    """
-    vma = getattr(jax.typeof(ref), "vma", None)
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+from qampy_tpu.ops._pallas_util import sds as _sds
 
 #: methods implemented by the pallas backend
 PALLAS_METHODS = ("cma", "sgncma", "mcma", "rde")

@@ -27,17 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sds(shape, dtype, ref):
-    """ShapeDtypeStruct matching ref's shard_map varying-axes type.
-
-    Inside jax.shard_map (check_vma=True), pallas_call outputs must declare
-    how they vary across mesh axes; everything here derives from the input
-    signal, so they vary exactly like it.
-    """
-    vma = getattr(jax.typeof(ref), "vma", None)
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+from qampy_tpu.ops._pallas_util import sds as _sds
 
 
 def _shift_right(x, k, T):
@@ -100,6 +90,7 @@ def _bps_kernel(T, N2, grid_const, win_dtype=None, compute_dtype=None):
     nm1 = float(n - 1)
     c0 = float(lo / d0)  # grid offset in level units
     assert N2 <= 128, "window lookback must fit one lane tile"
+    assert T >= 128, "tile must be at least one lane tile (tail rebuild)"
 
     def kernel(er_ref, ei_ref, cos_ref, sin_ref, out_ref, tail_ref):
         c = pl.program_id(1)

@@ -171,9 +171,9 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     grid = phops.detect_square_grid(const)
     if pallas is None:
         pallas = jax.default_backend() not in ("cpu",)
+    from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
     use_pallas = bool(pallas) and grid is not None and all(
-        m in ("cma", "sgncma", "mcma", "rde", "sbd", "mddma", "dd")
-        for m in methods)
+        m in PALLAS_BLOCK_METHODS for m in methods)
     angles_host = np.linspace(-np.pi / 4, np.pi / 4, bps_angles,
                               endpoint=False, dtype=np.float32)
 

@@ -65,3 +65,28 @@ class TestRxChain:
                                     bps_N=10, block_size=64, TrSyms=2 ** 12))
         out = fwd(np.asarray(s2).astype(np.complex64))
         assert _ser(out, 64) < 0.08
+
+    def test_twostage_xla_path_matches_single(self):
+        # bps_mode="twostage" without the Pallas kernels must still run the
+        # two-stage algorithm (not silently fall back to single-stage) and
+        # produce equivalent quality
+        sig, s2 = _tx(64, 2 ** 14, seed=8, snr=30, lw=20e3)
+        E = np.asarray(s2).astype(np.complex64)
+        kw = dict(M=64, Ntaps=17, os=2, bps_angles=32, bps_N=10,
+                  block_size=64, pallas=False)
+        d_two = _ser(jax.jit(make_rx_chain(bps_mode="twostage", **kw))(E), 64)
+        d_one = _ser(jax.jit(make_rx_chain(bps_mode="single", **kw))(E), 64)
+        assert d_two < d_one + 0.01
+
+    def test_cross_qam_falls_back_to_xla(self):
+        # cross 32-QAM has no square grid: requesting pallas must fall back
+        # to the XLA kernels instead of tripping kernel asserts
+        import jax.random as jr
+        sig = qt.SignalQAMGrayCoded(32, 2 ** 13, nmodes=2, fb=25e9, seed=3)
+        s2 = qt.impairments.change_snr(sig.resample(50e9, beta=0.1), 30,
+                                       key=jr.PRNGKey(1))
+        fwd = jax.jit(make_rx_chain(M=32, Ntaps=11, os=2, bps_angles=32,
+                                    bps_N=10, block_size=64, pallas=True,
+                                    methods=("cma", "sbd")))
+        o = np.asarray(fwd(np.asarray(s2).astype(np.complex64)))
+        assert np.isfinite(o).all()
