@@ -246,6 +246,12 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
                              grid):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    S_eff = min(int(block_size), int(TrSyms))
+    if not interpret and S_eff % 128 != 0:
+        raise ValueError(
+            "compiled TPU pallas block trainer needs block_size (and TrSyms "
+            "if smaller) to be a multiple of 128 lanes, got %d; use the XLA "
+            "backend or a 128-multiple block size" % S_eff)
 
     if method in _DECISION_METHODS:
         errfn = _make_block_err_decision(method, grid)

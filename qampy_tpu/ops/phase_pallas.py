@@ -159,6 +159,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     N2 = 2 * N
     assert grid is not None, "pallas BPS needs a square-grid constellation"
     assert N2 < T, "window must fit in one tile"
+    assert T % 128 == 0, "tile must be a whole number of 128-lane tiles"
     pad = (-L) % T
     Lp = L + pad
     nchunks = Lp // T

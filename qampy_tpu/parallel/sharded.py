@@ -172,8 +172,10 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     if pallas is None:
         pallas = jax.default_backend() not in ("cpu",)
     from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
-    use_pallas = bool(pallas) and grid is not None and all(
-        m in PALLAS_BLOCK_METHODS for m in methods)
+    use_pallas = (bool(pallas) and grid is not None
+                  and block_size % 128 == 0  # compiled-TPU lane-tile rule
+                  and bps_tile % 128 == 0
+                  and all(m in PALLAS_BLOCK_METHODS for m in methods))
     angles_host = np.linspace(-np.pi / 4, np.pi / 4, bps_angles,
                               endpoint=False, dtype=np.float32)
 
