@@ -149,9 +149,11 @@ def main():
         bps_mode = sys.argv[i0 + 3] if len(sys.argv) > i0 + 3 else "single"
     else:
         block_size, trs, bps_mode = 256, 2 ** 15, "single"
+    bps_win = "f32" if bps_mode.endswith("-f32") else "bf16"
+    bps_mode = bps_mode.replace("-f32", "")
     fwd_c = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
                          block_size=block_size, TrSyms=trs or None,
-                         bps_mode=bps_mode)
+                         bps_mode=bps_mode, bps_win=bps_win)
 
     def fwd(er, ei):
         return fwd_c(er + 1j * ei)

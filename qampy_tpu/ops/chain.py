@@ -31,7 +31,8 @@ __all__ = ["make_rx_chain"]
 
 def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                   bps_angles=64, bps_N=14, block_size=256, TrSyms=None,
-                  bps_mode="single", pallas=None, bps_tile=16384):
+                  bps_mode="single", pallas=None, bps_tile=16384,
+                  bps_win="bf16"):
     """Build a jittable ``forward(E) -> E_rec`` blind RX chain.
 
     Parameters mirror the granular API: ``M`` QAM order (square grids take
@@ -40,7 +41,8 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     train on the whole signal), ``bps_angles``/``bps_N`` the phase search,
     ``bps_mode`` "single" or "twostage"/"twostage32" (coarse+fine grids,
     reference core/phaserecovery.py:222-288). ``pallas=None`` auto-selects
-    the fused kernels off-CPU. ``E`` is complex (nmodes, L) at ``os``
+    the fused kernels off-CPU. ``bps_win`` "bf16" (default, ~25% faster
+    window accumulation) or "f32" (exact windowed sums). ``E`` is complex (nmodes, L) at ``os``
     samples/symbol; returns the equalised, derotated symbol sequence.
     """
     import jax
@@ -60,6 +62,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     angles_h = np.linspace(-np.pi / 4, np.pi / 4, bps_angles, endpoint=False,
                            dtype=np.float32)
     step_a, lo_a = float(np.pi / 2 / bps_angles), float(-np.pi / 4)
+    win_dtype = jnp.bfloat16 if bps_win == "bf16" else None
     if pallas is None:
         pallas = jax.default_backend() not in ("cpu",)
     # the fused kernels require a square-grid constellation and a method the
@@ -114,7 +117,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             div = 2 if bps_mode.endswith("32") else 4
             ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
                                            grid, bps_N, T=bps_tile,
-                                           win_dtype=jnp.bfloat16)
+                                           win_dtype=win_dtype)
             return _derotate(Eeq, ph)
         if bps_mode.startswith("twostage"):
             # XLA two-stage path (reference bps_twostage semantics)
@@ -127,7 +130,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # bf16 window accumulation: ~25% faster BPS; the nearest-level
             # decision stays f32-exact
             idx = bps_idx_pallas(Eeq, angles_h, grid, bps_N, T=bps_tile,
-                                 win_dtype=jnp.bfloat16)
+                                 win_dtype=win_dtype)
         else:
             angles = jnp.asarray(angles_h).reshape(1, -1)
             idx = jax.vmap(lambda e: phops.bps_idx(e, angles, const, bps_N,
