@@ -147,8 +147,9 @@ def main():
         block_size = int(sys.argv[i0 + 1])
         trs = int(sys.argv[i0 + 2])
         bps_mode = sys.argv[i0 + 3] if len(sys.argv) > i0 + 3 else "single"
+        gate_thr = float(sys.argv[i0 + 4]) if len(sys.argv) > i0 + 4 else 1e-4
     else:
-        block_size, trs, bps_mode = 256, 2 ** 15, "single"
+        block_size, trs, bps_mode, gate_thr = 256, 2 ** 15, "single", 1e-4
     bps_win = "f32" if bps_mode.endswith("-f32") else "bf16"
     bps_mode = bps_mode.replace("-f32", "")
     fwd_c = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
@@ -176,11 +177,13 @@ def main():
     print("chain done, compiling gate...", file=sys.stderr, flush=True)
     best = float(fetch(jax.block_until_ready(gate(out, refr, refi)), "gate"))
     print("gate done", file=sys.stderr, flush=True)
-    if best > 1e-4:
-        # convergence gate: the supervisor falls back to a longer training
-        # prefix (the reference blind-eq tolerance is SER ~ 0, a few errors
-        # per 2^16 symbols)
-        print("SER gate failed: %.2e > 1e-4" % best, file=sys.stderr, flush=True)
+    if best > gate_thr:
+        # convergence gate: the supervisor falls back to the next attempt
+        # (the reference blind-eq tolerance is SER ~ 0, a few errors per
+        # 2^16 symbols ~ 6e-5; the fast two-stage attempt is held to a
+        # 10x stricter 1e-5)
+        print("SER gate failed: %.2e > %.0e" % (best, gate_thr),
+              file=sys.stderr, flush=True)
         sys.exit(3)
 
     # --- timing ---
@@ -233,12 +236,21 @@ def _supervise():
     """Run attempts in isolated subprocesses: a tunnel failure poisons the
     whole process, so each (block_size) attempt gets a fresh interpreter."""
     import subprocess
-    # (block_size, training-prefix) attempts: converged-prefix training with
-    # frozen-tap filtering, shortest prefix first (each run SER-gated, so a
-    # non-converged attempt falls through to more training); repeated
-    # because the tunnel is flaky
-    for bs, trs in ((256, 2 ** 14), (256, 2 ** 14), (256, 2 ** 15), (256, 2 ** 16)):
-        proc = subprocess.run([sys.executable, __file__, "--single", str(bs), str(trs)],
+    # (block_size, training-prefix, bps mode, SER gate) attempts, fastest
+    # first: the two-stage BPS (~765 Msym/s) is held to a strict 1e-5 gate;
+    # the single-grid config (SER exactly 0 in every measured run) and
+    # longer training prefixes are the fallbacks. Each attempt runs in a
+    # fresh subprocess because the tunnel is flaky.
+    attempts = (
+        (256, 2 ** 14, "twostage", 1e-5),
+        (256, 2 ** 14, "single", 1e-4),
+        (256, 2 ** 14, "single", 1e-4),
+        (256, 2 ** 15, "single", 1e-4),
+        (256, 2 ** 16, "single", 1e-4),
+    )
+    for bs, trs, mode, thr in attempts:
+        proc = subprocess.run([sys.executable, __file__, "--single", str(bs),
+                               str(trs), mode, repr(thr)],
                               capture_output=True, text=True, timeout=1800)
         line = ""
         for l in proc.stdout.strip().splitlines():

@@ -115,9 +115,11 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)
             from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
             div = 2 if bps_mode.endswith("32") else 4
+            # wide coarse window (N1=60) kills coarse-stage cycle slips;
+            # the fine stage keeps bps_N for phase-tracking bandwidth
             ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
                                            grid, bps_N, T=bps_tile,
-                                           win_dtype=win_dtype)
+                                           win_dtype=win_dtype, N1=60)
             return _derotate(Eeq, ph)
         if bps_mode.startswith("twostage"):
             # XLA two-stage path (reference bps_twostage semantics)

@@ -246,7 +246,7 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
 
 
 def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None,
-                              win_dtype=None):
+                              win_dtype=None, N1=None):
     """Two-stage BPS phase search as two fused Pallas passes.
 
     Stage 1 runs the shared coarse grid (Mtestangles angles over
@@ -264,8 +264,12 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     assert N2 < T, "window must fit in one tile"
     coarse = np.linspace(-np.pi / 4, np.pi / 4, Mtestangles, endpoint=False,
                          dtype=np.float32)
-    idx1 = bps_idx_pallas(E, coarse, grid, N, T=T, interpret=interpret,
-                          win_dtype=win_dtype)
+    # N1: averaging half-window of the coarse stage only. The carrier phase
+    # varies slowly, so a much wider coarse window (up to 64 -> one full
+    # lane tile of lookback) suppresses coarse-stage cycle slips at the same
+    # kernel cost; the fine stage keeps N for tracking bandwidth.
+    idx1 = bps_idx_pallas(E, coarse, grid, N if N1 is None else N1, T=T,
+                          interpret=interpret, win_dtype=win_dtype)
     step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
     ph1 = lo1 + step1 * idx1.astype(jnp.float32)
     # fine offsets: b/(B*Mtestangles)*pi/2 for b = linspace(-B/2, B/2, B)
