@@ -7,7 +7,7 @@ program built from the Pallas kernels (ops/equaliser_pallas.py,
 ops/phase_pallas.py) on TPU, or the pure-XLA kernels on CPU.
 
 This is the path behind bench.py's headline number (dual-pol 64-QAM
-MCMA -> MDDMA -> 64-angle BPS at ~704 Msym/s on one v5e chip, SER-gated
+MCMA -> MDDMA -> BPS at ~767 Msym/s on one v5e chip, SER-gated
 exactly 0 at 35 dB); parity workload: reference
 Scripts/64_qam_equalisation.py:15-28.
 
