@@ -89,6 +89,20 @@ class TestResample:
         out = np.asarray(cresample.rrcos_resample(x, 2.0, 3.0, beta=0.2))
         assert out.shape[0] == int(np.ceil(3 ** 6 * 3 / 2))
 
+    @pytest.mark.parametrize("beta", [0.1, 0.03, 0.01])
+    def test_impulse_matches_rrcos_time(self, beta):
+        # reference test/test_resample.py:16-27: resampling a unit impulse
+        # with RRC shaping reproduces the analytic RRC time response
+        N = 1000
+        x = np.zeros(N, dtype=np.complex64)
+        x[N // 2] = 1
+        xn = np.asarray(cresample.rrcos_resample(x, 1.0, 4.0, Ts=1, beta=beta)).real
+        t = np.linspace(0, N, xn.shape[0], endpoint=False) - N // 2
+        b = np.asarray(special.rrcos_time(t, beta, 1))
+        xn = xn / xn.max()
+        b = b / b.max()
+        assert np.allclose(xn, b, atol=0.06)
+
     def test_spectrum_confined_after_shaping(self):
         sig = qt.SignalQAMGrayCoded(4, 2 ** 12, fb=10e9, seed=1)
         up = sig.resample(40e9, beta=0.1)
