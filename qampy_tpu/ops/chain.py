@@ -32,7 +32,7 @@ __all__ = ["make_rx_chain"]
 def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                   bps_angles=64, bps_N=14, block_size=256, TrSyms=None,
                   bps_mode="single", pallas=None, bps_tile=16384,
-                  bps_win="bf16"):
+                  bps_win="bf16", fuse_derot=True):
     """Build a jittable ``forward(E) -> E_rec`` blind RX chain.
 
     Parameters mirror the granular API: ``M`` QAM order (square grids take
@@ -42,7 +42,10 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     ``bps_mode`` "single" or "twostage"/"twostage32" (coarse+fine grids,
     reference core/phaserecovery.py:222-288). ``pallas=None`` auto-selects
     the fused kernels off-CPU. ``bps_win`` "bf16" (default, ~25% faster
-    window accumulation) or "f32" (exact windowed sums). ``E`` is complex (nmodes, L) at ``os``
+    window accumulation) or "f32" (exact windowed sums). ``fuse_derot``
+    runs the final pi/2-unwrap + derotation as one VMEM-resident Pallas
+    pass on the Pallas paths (the XLA cumsum is log2(L) HBM passes).
+    ``E`` is complex (nmodes, L) at ``os``
     samples/symbol; returns the equalised, derotated symbol sequence.
     """
     import jax
@@ -73,12 +76,19 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
               and all(m in PALLAS_BLOCK_METHODS for m in methods))
 
     def _derotate(Eeq, ph):
+        if pallas and fuse_derot:
+            # fused VMEM-resident unwrap+derotate: the XLA cumsum below is
+            # log2(L) HBM passes (~0.27 ms at L=2^20); the kernel does one
+            from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
+            return unwrap_derotate_pallas(Eeq, ph)
         # unwrap (period pi/2) and derotation in split real f32 arithmetic:
         # jnp.unwrap + complex exp/multiply defeats XLA fusion (complex
         # intermediates); diff/round/cumsum/sincos fuses into two passes
         d = ph[:, 1:] - ph[:, :-1]
         half_pi = jnp.float32(np.pi / 2)
-        a = -half_pi * jnp.round(d / half_pi)
+        # floor(x+0.5): same tie-break as the fused kernel (jnp.round's
+        # half-even ties diverge the unwrap on exact pi/4 phase jumps)
+        a = -half_pi * jnp.floor(d / half_pi + 0.5)
         offs = jnp.cumsum(jnp.pad(a, ((0, 0), (1, 0))), axis=-1)
         u = ph + offs
         c, s = jnp.cos(u), jnp.sin(u)

@@ -198,6 +198,99 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
 
 
 # ---------------------------------------------------------------------------
+# fused unwrap + derotation
+# ---------------------------------------------------------------------------
+
+def _cumsum_lanes(x, T):
+    """Inclusive prefix sum along the lane axis of a (rows, T) block."""
+    s, w = x, 1
+    while w < T:
+        s = s + _shift_right(s, w, T)
+        w *= 2
+    return s
+
+
+def _unwrap_derotate_kernel(T):
+    half_pi = np.float32(np.pi / 2)
+    inv_half_pi = np.float32(2 / np.pi)
+
+    def kernel(er_ref, ei_ref, ph_ref, or_ref, oi_ref, carry_ref):
+        c = pl.program_id(1)
+        ph = ph_ref[0, 0]  # (1, T)
+
+        @pl.when(c == 0)
+        def _():
+            # prev = ph[0] makes d[0] = 0 (the XLA formulation pads the
+            # first diff with zero); offset accumulator starts at 0
+            carry_ref[0, 0] = ph[0, 0]
+            carry_ref[0, 1] = 0.0
+
+        prev = carry_ref[0, 0]
+        acc = carry_ref[0, 1]
+        lane = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        shifted = jnp.where(lane == 0, prev, _shift_right(ph, 1, T))
+        d = ph - shifted
+        # nearest-integer pi/2 jump count; floor(x+0.5) instead of round
+        # (round-half-even lowers slowly on TPU; ties are measure-zero)
+        m = jnp.floor(d * inv_half_pi + 0.5)
+        M = _cumsum_lanes(m, T) + acc
+        u = ph - half_pi * M  # unwrapped phase (period pi/2)
+        cu = jnp.cos(u)
+        su = jnp.sin(u)
+        er = er_ref[0, 0]
+        ei = ei_ref[0, 0]
+        # E * exp(+j*u), matching the reference Ew*exp(1j*ph)
+        or_ref[:] = (er * cu - ei * su)[None, None]
+        oi_ref[:] = (er * su + ei * cu)[None, None]
+        carry_ref[0, 0] = ph[0, T - 1]
+        carry_ref[0, 1] = M[0, T - 1]
+
+    return kernel
+
+
+def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
+    """Fused pi/2-unwrap + derotation: returns ``E * exp(1j*unwrap(ph*4)/4)``.
+
+    The XLA formulation (ops/chain._derotate) is HBM-bound: the cumsum of
+    the pi/2 jump counts alone is log2(L) full-array passes. Here the
+    prefix sum runs in VMEM per tile with a (prev_phase, jump_count) scalar
+    carry across tiles, so HBM traffic is one read of (E, ph) and one write
+    of the result. Parity: reference core/phaserecovery.py:155-158
+    (np.unwrap(ph*4)/4 + derotation). E (nmodes, L) complex, ph (nmodes, L)
+    float32 wrapped phase; exact at any L (the jump count stays integral in
+    f32 far beyond any practical signal length).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E = jnp.asarray(E)
+    nmodes, L = E.shape
+    assert T % 128 == 0, "tile must be a whole number of 128-lane tiles"
+    pad = (-L) % T
+    Lp = L + pad
+    nchunks = Lp // T
+    shape4 = (nmodes, nchunks, 1, T)
+    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    # edge-pad the phase so the padded tail contributes no pi/2 jumps
+    phr = jnp.pad(ph.astype(jnp.float32), ((0, 0), (0, pad)),
+                  mode="edge").reshape(shape4)
+    blk = pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
+                       memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        _unwrap_derotate_kernel(T),
+        grid=(nmodes, nchunks),
+        in_specs=[blk, blk, blk],
+        out_specs=[blk, blk],
+        out_shape=[_sds(shape4, jnp.float32, E), _sds(shape4, jnp.float32, E)],
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
+        interpret=interpret,
+    )(er, ei, phr)
+    outr = outr.reshape(nmodes, Lp)[:, :L]
+    outi = outi.reshape(nmodes, Lp)[:, :L]
+    return (outr + 1j * outi).astype(E.dtype)
+
+
+# ---------------------------------------------------------------------------
 # fused two-stage BPS (coarse shared grid + per-sample fine offsets)
 # ---------------------------------------------------------------------------
 

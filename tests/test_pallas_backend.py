@@ -188,3 +188,49 @@ class TestMXUFilterFormulation:
             for i in range(Lout):
                 want[j, i] = np.sum(E[:, i * 2: i * 2 + 9] * wx[j])
         assert np.allclose(got, want, atol=2e-4)
+
+
+class TestPallasUnwrapDerotate:
+    """Fused unwrap+derotate kernel vs the XLA split-plane formulation."""
+
+    @staticmethod
+    def _xla_derotate(Eeq, ph):
+        import jax.numpy as jnp
+        d = ph[:, 1:] - ph[:, :-1]
+        half_pi = jnp.float32(np.pi / 2)
+        a = -half_pi * jnp.round(d / half_pi)
+        offs = jnp.cumsum(jnp.pad(a, ((0, 0), (1, 0))), axis=-1)
+        u = ph + offs
+        c, s = jnp.cos(u), jnp.sin(u)
+        er, ei = Eeq.real, Eeq.imag
+        return (er * c - ei * s) + 1j * (er * s + ei * c)
+
+    @pytest.mark.parametrize("T,L", [(1024, 5000), (8192, 5000), (512, 512)])
+    def test_matches_xla(self, rng, T, L):
+        import jax.numpy as jnp
+        from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
+        E = (rng.standard_normal((2, L)) +
+             1j * rng.standard_normal((2, L))).astype(np.complex64)
+        # slow drift with genuine pi/2 wraps
+        drift = (np.cumsum(rng.standard_normal((2, L)) * 0.02, axis=-1)
+                 + np.linspace(0, 9, L))
+        ph = ((drift + np.pi / 4) % (np.pi / 2) - np.pi / 4).astype(np.float32)
+        ref = np.asarray(self._xla_derotate(jnp.asarray(E), jnp.asarray(ph)))
+        got = np.asarray(unwrap_derotate_pallas(E, ph, T=T, interpret=True))
+        assert got.dtype == E.dtype
+        assert np.allclose(got, ref, atol=1e-4)
+
+    def test_unwrap_carries_across_tiles(self, rng):
+        """A wrap exactly at a tile boundary must carry the pi/2 offset."""
+        import jax.numpy as jnp
+        from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
+        L, T = 1024, 256
+        E = np.ones((1, L), np.complex64)
+        ph = np.full((1, L), np.pi / 4 - 0.01, np.float32)
+        ph[0, T:] = -np.pi / 4 + 0.01  # wraps by ~pi/2 at the boundary
+        got = np.asarray(unwrap_derotate_pallas(E, ph, T=T, interpret=True))
+        ref = np.asarray(self._xla_derotate(jnp.asarray(E), jnp.asarray(ph)))
+        assert np.allclose(got, ref, atol=1e-5)
+        # unwrapped phase after the boundary is pi/4 - 0.01 + 0.02 (continuous),
+        # NOT -pi/4 + 0.01
+        assert np.allclose(np.angle(got[0, T:]), np.pi / 4 + 0.01, atol=1e-4)
