@@ -89,6 +89,12 @@ def main():
                 out2 = jnp.sum(res, axis=0)
             if mode in ("no-deint",):
                 return jnp.sum(out2[:, ::997]).astype(jnp.float32)
+            if mode == "barrier":
+                out2 = jax.lax.optimization_barrier(out2)
+            if mode == "pal-deint":
+                from probe_interleave import pallas_deint
+                out = pallas_deint(out2.reshape(nop, G, -1))[:, :Lout]
+                return jnp.sum(out[:, ::997]).astype(jnp.float32)
             out = out2.reshape(nop, G, -1).swapaxes(1, 2).reshape(nop, -1)[:, :Lout]
             if mode in ("no-recomb", "pdot-deint"):
                 return jnp.sum(out[:, ::997]).astype(jnp.float32)
@@ -96,7 +102,7 @@ def main():
             return (jnp.sum(res2.real) + jnp.sum(res2.imag)).astype(jnp.float32)
         return f
 
-    for mode in ("recomb", "no-recomb", "no-deint", "no-psum", "pdot", "pdot-deint"):
+    for mode in ("recomb", "no-deint", "barrier", "pal-deint"):
         timeit(variant(mode), Er, Ei, f"windows filter [{mode}]")
 
 
