@@ -115,11 +115,17 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                          methods[0], adaptive=True, block_size=block_size)
         _, w2, _ = train(E, trs, 1, os, mu, w1, symbols2,
                          methods[1], adaptive=True, block_size=block_size)
-        # single-pass bf16 matmul for the filter contraction on TPU (the
-        # ~0.4% quantisation rides far below operating channel noise; the
-        # bench SER gate verifies the end-to-end outcome stays exact)
-        filt_prec = jax.lax.Precision.DEFAULT if pallas else None
-        Eeq = eqops.apply_filter_to_signal(E, os, w2, precision=filt_prec)
+        # single-pass bf16 contraction for the filter on TPU (the ~0.4%
+        # quantisation rides far below operating channel noise; the bench
+        # SER gate verifies the end-to-end outcome stays exact)
+        from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
+                                                    pallas_filter_group)
+        if pallas and pallas_filter_group(os, Ntaps, nmodes) > 1:
+            # fused Pallas filter: windows + MXU + deinterleave in VMEM
+            # (4.5x the XLA windows formulation, docs/PERFORMANCE.md)
+            Eeq = apply_filter_pallas(E, os, w2)
+        else:
+            Eeq = eqops.apply_filter_to_signal(E, os, w2)
         if pallas and bps_mode.startswith("twostage"):
             # fused two-stage BPS: shared coarse grid + 8 per-sample fine
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)

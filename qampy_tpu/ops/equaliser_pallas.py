@@ -378,3 +378,120 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
     err = (jnp.moveaxis(err_r, 0, 1).reshape(nout, -1)
            + 1j * jnp.moveaxis(err_i, 0, 1).reshape(nout, -1)).astype(E.dtype)
     return err, wout, mu_f[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# filter application — fused windows + MXU contraction + deinterleave
+# ---------------------------------------------------------------------------
+
+def pallas_filter_group(os, ntaps, nout):
+    """Largest MXU phase-group G for apply_filter_pallas (0 = unsupported)."""
+    nop = 2 * nout
+    for g in range(min(128 // max(nop, 1), (128 - ntaps) // os + 1), 0, -1):
+        if 128 % (g * os) == 0:
+            return g
+    return 0
+
+
+def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
+                        interpret=None):
+    """Strided-decimating MIMO FIR as one fused Pallas kernel.
+
+    Same contract as ops.equaliser.apply_filter_to_signal (reference
+    pythran_equalisation.py:37-76): out[j, i] = sum_{k,t} E[k, i*os+t] *
+    wxy[j, k, t], complex E (nmodes, L) -> (nout, Lout).
+
+    The XLA windows formulation builds its shifted-window operand and
+    deinterleaves the (G-phase, window) output through HBM; here both happen
+    in VMEM per tile: each grid step DMAs a contiguous (P, Ct*G*os) signal
+    block (plus a 128-col lookahead halo passed as a second blocked input),
+    builds the 128-wide windows with VMEM slices, contracts on the MXU
+    against the G-shifted weight matrix, transposes the (G, Ct) result to
+    time order and writes an (nop, Ct, G) block whose row-major layout IS
+    the symbol order — HBM traffic is one read of the signal and one write
+    of the output. ``mat_dtype=jnp.bfloat16`` matches the flagship chain's
+    single-pass bf16 contraction (~2^-8 relative, far below decision
+    thresholds; pass jnp.float32 for exact).
+
+    Requires a group size G with 128 % (G*os) == 0 and (G-1)*os + ntaps
+    <= 128 (checked); same condition as the XLA windows fast path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E = jnp.asarray(E)
+    wxy = jnp.asarray(wxy)
+    os = int(os)
+    nmodes, L = E.shape
+    nout, _, ntaps = wxy.shape
+    Lout = (L - ntaps) // os + 1
+    assert jnp.iscomplexobj(E) and jnp.iscomplexobj(wxy), \
+        "pallas filter is the complex fast path; use the XLA backend otherwise"
+    P = 2 * nmodes
+    nop = 2 * nout
+    G = pallas_filter_group(os, ntaps, nout)
+    assert G > 1, "no MXU group size for this (os, ntaps, nmodes)"
+    Gos = G * os
+    nshift = 128 // Gos
+    assert Ct % nshift == 0
+    Qt = Ct // nshift
+    nwin = -(-Lout // G)
+    nch = -(-nwin // Ct)
+    Tin = Ct * Gos
+
+    planes = jnp.concatenate([E.real, E.imag], axis=0).astype(jnp.float32)
+    # one extra tile of zero padding so the halo slice below stays in
+    # bounds for the LAST tile too (lax.slice silently clamps out-of-bounds
+    # starts, which would shift the halo contents)
+    Lpad = (nch + 1) * Tin
+    planes = jnp.pad(planes, ((0, 0), (0, max(0, Lpad - L))))
+    x_blk = lax.slice(planes, (0, 0), (P, nch * Tin))
+    # 128-col lookahead halo per tile: tiny (1/(Ct*G*os) of the signal)
+    halo = (lax.slice(planes, (0, Tin), (P, Tin + nch * Tin))
+            .reshape(P, nch, Tin)[:, :, :128].swapaxes(0, 1))  # (nch, P, 128)
+    # W2[p, o*G+g, j] = Wcat[o, p, j - g*os] (taps never wrap: (G-1)*os +
+    # ntaps <= 128 by construction)
+    Wr = wxy.real.reshape(nout, nmodes * ntaps)
+    Wi = wxy.imag.reshape(nout, nmodes * ntaps)
+    Wcat = jnp.concatenate([jnp.concatenate([Wr, -Wi], 1),
+                            jnp.concatenate([Wi, Wr], 1)], 0)
+    Wcat3 = Wcat.reshape(nop, P, ntaps).astype(jnp.float32)
+    Wpad = jnp.pad(Wcat3, ((0, 0), (0, 0), (0, 128 - ntaps)))
+    W2 = jnp.stack([jnp.roll(Wpad, g * os, axis=-1) for g in range(G)],
+                   axis=1).reshape(nop * G, P, 128).swapaxes(0, 1)
+
+    def kernel(x_ref, h_ref, w_ref, o_ref):
+        x = x_ref[:]                       # (P, Tin)
+        h = h_ref[0]                       # (P, 128)
+        buf = jnp.concatenate([x, h], axis=1)
+        parts = [
+            lax.slice(buf, (0, r * Gos), (P, r * Gos + Tin)).reshape(P, Qt, 128)
+            for r in range(nshift)
+        ]
+        W3 = jnp.stack(parts, axis=2).reshape(P, Ct, 128).astype(mat_dtype)
+        w = w_ref[:].astype(mat_dtype)     # (P, nop*G, 128)
+        acc = None
+        for p in range(P):                 # static unroll over planes
+            t = lax.dot_general(w[p], W3[p],
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t  # (nop*G, Ct)
+        # VMEM deinterleave: rows (o, g), cols c -> time order c*G + g
+        outs = [acc[o * G:(o + 1) * G, :].T for o in range(nop)]
+        o_ref[:] = jnp.stack(outs, axis=0)  # (nop, Ct, G)
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((P, Tin), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 128), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nop, Ct, G), lambda c: (0, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_sds((nop, nch * Ct, G), jnp.float32, E),
+        interpret=interpret,
+    )(x_blk, halo, W2)
+    out = res.reshape(nop, nch * Ct * G)[:, :Lout]
+    return (out[:nout] + 1j * out[nout:]).astype(E.dtype)

@@ -45,7 +45,7 @@ def _halo_from_left(x, n):
     return jnp.concatenate([halo, x], axis=-1)
 
 
-def _apply_filter_local(E_loc, os, wxy):
+def _apply_filter_local(E_loc, os, wxy, pallas=False):
     """Filter a local shard with a right halo so outputs tile exactly.
 
     Output length is Lloc//os per shard (the halo supplies the ntaps-1
@@ -53,6 +53,13 @@ def _apply_filter_local(E_loc, os, wxy):
     """
     ntaps = wxy.shape[-1]
     Ee = _halo_from_right(E_loc, ntaps - 1 + os)
+    if pallas:
+        from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
+                                                    pallas_filter_group)
+        if (jnp.iscomplexobj(E_loc)
+                and pallas_filter_group(os, ntaps, wxy.shape[0]) > 1):
+            out = apply_filter_pallas(Ee, os, wxy)
+            return out[..., : E_loc.shape[-1] // os]
     out = eqops.apply_filter_to_signal(Ee, os, wxy)
     return out[..., : E_loc.shape[-1] // os]
 
@@ -189,7 +196,7 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
         w2 = _train_parallel(E_loc, os, mu2, w1, jnp.asarray(symbols2), methods[1],
                              Niter, trs, adaptive, rounds, block_size,
                              pallas=use_pallas, symbols_host=symbols2)
-        Eeq = _apply_filter_local(E_loc, os, w2)
+        Eeq = _apply_filter_local(E_loc, os, w2, pallas=use_pallas)
         angles = jnp.asarray(angles_host).reshape(1, -1)
         Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N, grid=grid,
                               pallas=use_pallas, angles_host=angles_host,

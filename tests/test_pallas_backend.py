@@ -234,3 +234,28 @@ class TestPallasUnwrapDerotate:
         # unwrapped phase after the boundary is pi/4 - 0.01 + 0.02 (continuous),
         # NOT -pi/4 + 0.01
         assert np.allclose(np.angle(got[0, T:]), np.pi / 4 + 0.01, atol=1e-4)
+
+
+class TestPallasApplyFilter:
+    """Fused Pallas filter vs the XLA windows formulation (interpret mode)."""
+
+    @pytest.mark.parametrize("L,ntaps,os,nmodes,Ct", [
+        (5000, 17, 2, 2, 64),    # halo crossing mid-signal
+        (4096, 11, 2, 2, 32),
+        (3000, 17, 2, 1, 32),    # single pol
+        (6000, 17, 4, 2, 16),    # os=4
+    ])
+    def test_matches_xla(self, rng, L, ntaps, os, nmodes, Ct):
+        import jax.numpy as jnp
+        from qampy_tpu.ops.equaliser_pallas import apply_filter_pallas
+        E = (rng.standard_normal((nmodes, L)) +
+             1j * rng.standard_normal((nmodes, L))).astype(np.complex64)
+        wxy = ((rng.standard_normal((nmodes, nmodes, ntaps)) +
+                1j * rng.standard_normal((nmodes, nmodes, ntaps))) * 0.1
+               ).astype(np.complex64)
+        want = np.asarray(eqops.apply_filter_to_signal(E, os, wxy))
+        got = np.asarray(apply_filter_pallas(E, os, wxy, Ct=Ct,
+                                             mat_dtype=jnp.float32,
+                                             interpret=True))
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-4)
