@@ -244,7 +244,6 @@ def _supervise():
     attempts = (
         (256, 2 ** 14, "twostage", 1e-5),
         (256, 2 ** 14, "single", 1e-4),
-        (256, 2 ** 14, "single", 1e-4),
         (256, 2 ** 15, "single", 1e-4),
         (256, 2 ** 16, "single", 1e-4),
     )

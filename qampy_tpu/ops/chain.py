@@ -120,12 +120,35 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         # SER gate verifies the end-to-end outcome stays exact)
         from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
                                                     pallas_filter_group)
-        if pallas and pallas_filter_group(os, Ntaps, nmodes) > 1:
+        filt_group = pallas_filter_group(os, Ntaps, nmodes) if pallas else 0
+        dec = 8 if (bps_mode == "twostage-dec" and filt_group >= 8
+                    and filt_group % 8 == 0) else None
+        if pallas and filt_group > 1:
             # fused Pallas filter: windows + MXU + deinterleave in VMEM
             # (4.5x the XLA windows formulation, docs/PERFORMANCE.md)
-            Eeq = apply_filter_pallas(E, os, w2)
+            out_f = apply_filter_pallas(E, os, w2, dec_stride=dec)
+            Eeq, Edec = out_f if dec else (out_f, None)
         else:
-            Eeq = eqops.apply_filter_to_signal(E, os, w2)
+            Eeq, Edec, dec = eqops.apply_filter_to_signal(E, os, w2), None, None
+        if pallas and dec is not None:
+            # decimated-coarse two-stage BPS: the carrier phase is grossly
+            # oversampled at the symbol rate, so the coarse grid search runs
+            # on the filter's stride-8 side output (1/8 the samples) with a
+            # 2N-point window spanning 8x the time; the per-sample fine
+            # stage and unwrap see the upsampled coarse phase
+            from qampy_tpu.ops.phase_pallas import (bps_idx_pallas,
+                                                    bps_fine_pallas)
+            A1 = max(bps_angles // 4, 16)
+            idx1 = bps_idx_pallas(Edec, np.linspace(
+                -np.pi / 4, np.pi / 4, A1, endpoint=False, dtype=np.float32),
+                grid, bps_N, T=min(bps_tile, 8192), win_dtype=win_dtype)
+            step1, lo1 = float(np.pi / 2 / A1), float(-np.pi / 4)
+            ph1d = lo1 + step1 * idx1.astype(jnp.float32)
+            Lout = Eeq.shape[-1]
+            ph1 = jnp.repeat(ph1d, dec, axis=-1)[:, :Lout]
+            ph = bps_fine_pallas(Eeq, ph1, A1, 8, grid, bps_N, T=bps_tile,
+                                 win_dtype=win_dtype)
+            return _derotate(Eeq, ph)
         if pallas and bps_mode.startswith("twostage"):
             # fused two-stage BPS: shared coarse grid + 8 per-sample fine
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)

@@ -394,7 +394,7 @@ def pallas_filter_group(os, ntaps, nout):
 
 
 def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
-                        interpret=None):
+                        dec_stride=None, interpret=None):
     """Strided-decimating MIMO FIR as one fused Pallas kernel.
 
     Same contract as ops.equaliser.apply_filter_to_signal (reference
@@ -415,6 +415,13 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
 
     Requires a group size G with 128 % (G*os) == 0 and (G-1)*os + ntaps
     <= 128 (checked); same condition as the XLA windows fast path.
+
+    ``dec_stride`` (divisor of G) additionally returns the stride-
+    ``dec_stride`` decimated output symbols as a second array
+    (nout, ceil(Lout/dec_stride)) at zero extra HBM reads — a one-hot
+    MXU row selection of the in-VMEM accumulator. Used by the chain's
+    decimated-coarse BPS (the carrier phase is oversampled at the
+    symbol rate, so the coarse search doesn't need every symbol).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -459,7 +466,24 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
     W2 = jnp.stack([jnp.roll(Wpad, g * os, axis=-1) for g in range(G)],
                    axis=1).reshape(nop * G, P, 128).swapaxes(0, 1)
 
-    def kernel(x_ref, h_ref, w_ref, o_ref):
+    Gd = 0
+    if dec_stride is not None:
+        assert G % dec_stride == 0, "dec_stride must divide the phase group"
+        Gd = G // dec_stride
+        # one-hot sublane selection of rows (o, g = k*dec_stride) as a tiny
+        # MXU matmul: direct sublane-slice concatenation trips Mosaic's
+        # layout-offset rules, a (nop*Gd, nop*G) selector does not
+        sel = np.zeros((nop * Gd, nop * G), np.float32)
+        for o in range(nop):
+            for k in range(Gd):
+                sel[o * Gd + k, o * G + k * dec_stride] = 1.0
+        sel_h = jnp.asarray(sel)
+
+    def kernel(x_ref, h_ref, w_ref, *out_refs):
+        if dec_stride is not None:
+            s_ref, o_ref, d_ref = out_refs
+        else:
+            s_ref, o_ref = None, out_refs[0]
         x = x_ref[:]                       # (P, Tin)
         h = h_ref[0]                       # (P, 128)
         buf = jnp.concatenate([x, h], axis=1)
@@ -478,20 +502,51 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
         # VMEM deinterleave: rows (o, g), cols c -> time order c*G + g
         outs = [acc[o * G:(o + 1) * G, :].T for o in range(nop)]
         o_ref[:] = jnp.stack(outs, axis=0)  # (nop, Ct, G)
+        if dec_stride is not None:
+            dec = jnp.dot(s_ref[:], acc,
+                          preferred_element_type=jnp.float32)  # (nop*Gd, Ct)
+            douts = [dec[o * Gd:(o + 1) * Gd, :].T for o in range(nop)]
+            d_ref[:] = jnp.stack(douts, axis=0)  # (nop, Ct, Gd)
+
+    out_specs = [pl.BlockSpec((nop, Ct, G), lambda c: (0, c, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [_sds((nop, nch * Ct, G), jnp.float32, E)]
+    in_arrays = [x_blk, halo, W2]
+    in_specs = [
+        pl.BlockSpec((P, Tin), lambda c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P, 128), lambda c: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if dec_stride is not None:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_arrays.insert(0, sel_h)
+        out_specs.append(pl.BlockSpec((nop, Ct, Gd), lambda c: (0, c, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(_sds((nop, nch * Ct, Gd), jnp.float32, E))
+
+    def wrapped(*refs):
+        if dec_stride is not None:
+            s_ref, x_ref, h_ref, w_ref, o_ref, d_ref = refs
+            kernel(x_ref, h_ref, w_ref, s_ref, o_ref, d_ref)
+        else:
+            kernel(*refs)
 
     res = pl.pallas_call(
-        kernel,
+        wrapped,
         grid=(nch,),
-        in_specs=[
-            pl.BlockSpec((P, Tin), lambda c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 128), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nop, Ct, G), lambda c: (0, c, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=_sds((nop, nch * Ct, G), jnp.float32, E),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         interpret=interpret,
-    )(x_blk, halo, W2)
-    out = res.reshape(nop, nch * Ct * G)[:, :Lout]
-    return (out[:nout] + 1j * out[nout:]).astype(E.dtype)
+    )(*in_arrays)
+    if dec_stride is None:
+        res = (res,)
+    out = res[0].reshape(nop, nch * Ct * G)[:, :Lout]
+    outc = (out[:nout] + 1j * out[nout:]).astype(E.dtype)
+    if dec_stride is None:
+        return outc
+    Ld = -(-Lout // dec_stride)
+    dec = res[1].reshape(nop, nch * Ct * Gd)[:, :Ld]
+    decc = (dec[:nout] + 1j * dec[nout:]).astype(E.dtype)
+    return outc, decc

@@ -210,13 +210,26 @@ def _cumsum_lanes(x, T):
     return s
 
 
-def _unwrap_derotate_kernel(T):
+def _unwrap_derotate_kernel(R, Tc):
+    """Tile = (R, Tc): R sublane rows each a CONTIGUOUS time segment.
+
+    A (1, T) row uses 1/8 of the VPU's sublanes on every pass (~40 passes:
+    cumsum + sincos + rotation); splitting the tile into R=8 row-segments
+    runs them 8-wide. The prefix sum becomes two-level: an inclusive
+    within-row cumsum plus an exclusive cross-row scan of the (R, 1) row
+    totals.
+    """
     half_pi = np.float32(np.pi / 2)
     inv_half_pi = np.float32(2 / np.pi)
 
+    def _shift_down(x, k):
+        # rows r -> r+k with zero fill (sublane-axis shift)
+        return jnp.concatenate(
+            [jnp.zeros((k, x.shape[1]), x.dtype), x[: R - k]], axis=0)
+
     def kernel(er_ref, ei_ref, ph_ref, or_ref, oi_ref, carry_ref):
         c = pl.program_id(1)
-        ph = ph_ref[0, 0]  # (1, T)
+        ph = ph_ref[0, 0, 0]  # (R, Tc)
 
         @pl.when(c == 0)
         def _():
@@ -227,23 +240,40 @@ def _unwrap_derotate_kernel(T):
 
         prev = carry_ref[0, 0]
         acc = carry_ref[0, 1]
-        lane = lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        shifted = jnp.where(lane == 0, prev, _shift_right(ph, 1, T))
-        d = ph - shifted
+        lane = lax.broadcasted_iota(jnp.int32, (R, Tc), 1)
+        row = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        # last column extracted via masked reduction: a direct [:, -1:]
+        # slice carries lane offset Tc-1 in its layout and Mosaic cannot
+        # concatenate it with canonical-layout operands
+        last_ph = jnp.sum(jnp.where(lane == Tc - 1, ph, 0.0), axis=1,
+                          keepdims=True)              # (R, 1)
+        # column 0 of row r diffs against the last sample of row r-1
+        # (row 0 against the carried scalar)
+        prev_col = jnp.where(row == 0, prev, _shift_down(last_ph, 1))
+        d = jnp.where(lane == 0, ph - prev_col, ph - _shift_right(ph, 1, Tc))
         # nearest-integer pi/2 jump count; floor(x+0.5) instead of round
         # (round-half-even lowers slowly on TPU; ties are measure-zero)
         m = jnp.floor(d * inv_half_pi + 0.5)
-        M = _cumsum_lanes(m, T) + acc
+        s = _cumsum_lanes(m, Tc)                      # within-row inclusive
+        # exclusive cross-row scan of the row totals
+        last_s = jnp.sum(jnp.where(lane == Tc - 1, s, 0.0), axis=1,
+                         keepdims=True)               # (R, 1)
+        e = _shift_down(last_s, 1)
+        w = 1
+        while w < R:
+            e = e + _shift_down(e, w)
+            w *= 2
+        M = s + e + acc
         u = ph - half_pi * M  # unwrapped phase (period pi/2)
         cu = jnp.cos(u)
         su = jnp.sin(u)
-        er = er_ref[0, 0]
-        ei = ei_ref[0, 0]
+        er = er_ref[0, 0, 0]
+        ei = ei_ref[0, 0, 0]
         # E * exp(+j*u), matching the reference Ew*exp(1j*ph)
-        or_ref[:] = (er * cu - ei * su)[None, None]
-        oi_ref[:] = (er * su + ei * cu)[None, None]
-        carry_ref[0, 0] = ph[0, T - 1]
-        carry_ref[0, 1] = M[0, T - 1]
+        or_ref[:] = (er * cu - ei * su)[None, None, None]
+        oi_ref[:] = (er * su + ei * cu)[None, None, None]
+        carry_ref[0, 0] = ph[R - 1, Tc - 1]
+        carry_ref[0, 1] = M[R - 1, Tc - 1]
 
     return kernel
 
@@ -264,24 +294,28 @@ def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
         interpret = jax.default_backend() == "cpu"
     E = jnp.asarray(E)
     nmodes, L = E.shape
-    assert T % 128 == 0, "tile must be a whole number of 128-lane tiles"
+    R = 8
+    assert T % (R * 128) == 0, "tile must split into 8 rows of whole lane tiles"
+    Tc = T // R
     pad = (-L) % T
     Lp = L + pad
     nchunks = Lp // T
-    shape4 = (nmodes, nchunks, 1, T)
-    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
-    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    # (R, Tc) tiles: row r is the CONTIGUOUS segment [r*Tc, (r+1)*Tc) of its
+    # chunk, so the HBM reshape is a free row-major relabel
+    shape5 = (nmodes, nchunks, 1, R, Tc)
+    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape5)
+    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape5)
     # edge-pad the phase so the padded tail contributes no pi/2 jumps
     phr = jnp.pad(ph.astype(jnp.float32), ((0, 0), (0, pad)),
-                  mode="edge").reshape(shape4)
-    blk = pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
+                  mode="edge").reshape(shape5)
+    blk = pl.BlockSpec((1, 1, 1, R, Tc), lambda m, c: (m, c, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     outr, outi = pl.pallas_call(
-        _unwrap_derotate_kernel(T),
+        _unwrap_derotate_kernel(R, Tc),
         grid=(nmodes, nchunks),
         in_specs=[blk, blk, blk],
         out_specs=[blk, blk],
-        out_shape=[_sds(shape4, jnp.float32, E), _sds(shape4, jnp.float32, E)],
+        out_shape=[_sds(shape5, jnp.float32, E), _sds(shape5, jnp.float32, E)],
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         interpret=interpret,
     )(er, ei, phr)
@@ -365,6 +399,26 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
                           interpret=interpret, win_dtype=win_dtype)
     step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
     ph1 = lo1 + step1 * idx1.astype(jnp.float32)
+    return bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=T,
+                           interpret=interpret, win_dtype=win_dtype)
+
+
+def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
+                    win_dtype=None):
+    """Fine BPS stage given an externally supplied coarse phase ``ph1``.
+
+    Refines ph1 (nmodes, L) with B per-sample offsets spanning one coarse
+    step of an Mtestangles grid; used by the two-stage search and by the
+    chain's decimated-coarse mode (where ph1 comes from a stride-decimated
+    coarse pass, upsampled). Returns the per-sample fine phase (pre-unwrap).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E = jnp.asarray(E)
+    nmodes, L = E.shape
+    N2 = 2 * N
+    assert grid is not None, "pallas BPS needs a square-grid constellation"
+    assert N2 < T, "window must fit in one tile"
     # fine offsets: b/(B*Mtestangles)*pi/2 for b = linspace(-B/2, B/2, B)
     bvals = np.linspace(-B / 2, B / 2, B)
     deltas = bvals / (B * Mtestangles) * np.pi / 2

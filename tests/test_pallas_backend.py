@@ -205,7 +205,7 @@ class TestPallasUnwrapDerotate:
         er, ei = Eeq.real, Eeq.imag
         return (er * c - ei * s) + 1j * (er * s + ei * c)
 
-    @pytest.mark.parametrize("T,L", [(1024, 5000), (8192, 5000), (512, 512)])
+    @pytest.mark.parametrize("T,L", [(1024, 5000), (8192, 5000), (1024, 1024)])
     def test_matches_xla(self, rng, T, L):
         import jax.numpy as jnp
         from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
@@ -220,20 +220,21 @@ class TestPallasUnwrapDerotate:
         assert got.dtype == E.dtype
         assert np.allclose(got, ref, atol=1e-4)
 
-    def test_unwrap_carries_across_tiles(self, rng):
-        """A wrap exactly at a tile boundary must carry the pi/2 offset."""
+    @pytest.mark.parametrize("at", [1024, 128, 640])
+    def test_unwrap_carries_across_boundaries(self, rng, at):
+        """pi/2 wraps at tile AND row-segment boundaries must carry."""
         import jax.numpy as jnp
         from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
-        L, T = 1024, 256
+        L, T = 4096, 1024  # Tc = 128: `at` hits tile (1024) and row (128,640)
         E = np.ones((1, L), np.complex64)
         ph = np.full((1, L), np.pi / 4 - 0.01, np.float32)
-        ph[0, T:] = -np.pi / 4 + 0.01  # wraps by ~pi/2 at the boundary
+        ph[0, at:] = -np.pi / 4 + 0.01  # wraps by ~pi/2 at the boundary
         got = np.asarray(unwrap_derotate_pallas(E, ph, T=T, interpret=True))
         ref = np.asarray(self._xla_derotate(jnp.asarray(E), jnp.asarray(ph)))
         assert np.allclose(got, ref, atol=1e-5)
-        # unwrapped phase after the boundary is pi/4 - 0.01 + 0.02 (continuous),
-        # NOT -pi/4 + 0.01
-        assert np.allclose(np.angle(got[0, T:]), np.pi / 4 + 0.01, atol=1e-4)
+        # unwrapped phase after the boundary is pi/4 - 0.01 + 0.02
+        # (continuous), NOT -pi/4 + 0.01
+        assert np.allclose(np.angle(got[0, at:]), np.pi / 4 + 0.01, atol=1e-4)
 
 
 class TestPallasApplyFilter:
