@@ -7,8 +7,8 @@ program built from the Pallas kernels (ops/equaliser_pallas.py,
 ops/phase_pallas.py) on TPU, or the pure-XLA kernels on CPU.
 
 This is the path behind bench.py's headline number (dual-pol 64-QAM
-MCMA -> MDDMA -> BPS at ~767 Msym/s on one v5e chip, SER-gated
-exactly 0 at 35 dB); parity workload: reference
+MCMA -> MDDMA -> BPS at ~956 Msym/s on one v5e chip, SER-gated
+at 35 dB); parity workload: reference
 Scripts/64_qam_equalisation.py:15-28.
 
 The step-by-step equivalent through the granular API is::
@@ -145,7 +145,11 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             step1, lo1 = float(np.pi / 2 / A1), float(-np.pi / 4)
             ph1d = lo1 + step1 * idx1.astype(jnp.float32)
             Lout = Eeq.shape[-1]
-            ph1 = jnp.repeat(ph1d, dec, axis=-1)[:, :Lout]
+            # broadcast+reshape, NOT jnp.repeat: repeat lowers to a gather
+            # that XLA re-fuses into every consumer (measured ~0.3 ms each)
+            ph1 = jnp.broadcast_to(ph1d[:, :, None],
+                                   (*ph1d.shape, dec)).reshape(
+                ph1d.shape[0], -1)[:, :Lout]
             ph = bps_fine_pallas(Eeq, ph1, A1, 8, grid, bps_N, T=bps_tile,
                                  win_dtype=win_dtype)
             return _derotate(Eeq, ph)

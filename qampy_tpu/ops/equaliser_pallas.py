@@ -503,10 +503,11 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
         outs = [acc[o * G:(o + 1) * G, :].T for o in range(nop)]
         o_ref[:] = jnp.stack(outs, axis=0)  # (nop, Ct, G)
         if dec_stride is not None:
-            dec = jnp.dot(s_ref[:], acc,
-                          preferred_element_type=jnp.float32)  # (nop*Gd, Ct)
-            douts = [dec[o * Gd:(o + 1) * Gd, :].T for o in range(nop)]
-            d_ref[:] = jnp.stack(douts, axis=0)  # (nop, Ct, Gd)
+            # keep the (nop*Gd, Ct) matmul layout: Gd-lane-minor blocks pad
+            # catastrophically in Mosaic (a 4-wide row per 128-lane register)
+            # — the tiny (Gd, C) -> (C, Gd) time reorder happens in XLA
+            d_ref[:] = jnp.dot(s_ref[:], acc,
+                               preferred_element_type=jnp.float32)
 
     out_specs = [pl.BlockSpec((nop, Ct, G), lambda c: (0, c, 0),
                               memory_space=pltpu.VMEM)]
@@ -521,9 +522,9 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
     if dec_stride is not None:
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.VMEM))
         in_arrays.insert(0, sel_h)
-        out_specs.append(pl.BlockSpec((nop, Ct, Gd), lambda c: (0, c, 0),
+        out_specs.append(pl.BlockSpec((nop * Gd, Ct), lambda c: (0, c),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(_sds((nop, nch * Ct, Gd), jnp.float32, E))
+        out_shape.append(_sds((nop * Gd, nch * Ct), jnp.float32, E))
 
     def wrapped(*refs):
         if dec_stride is not None:
@@ -547,6 +548,11 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
     if dec_stride is None:
         return outc
     Ld = -(-Lout // dec_stride)
-    dec = res[1].reshape(nop, nch * Ct * Gd)[:, :Ld]
+    dec3 = res[1].reshape(nop, Gd, nch * Ct)
+    if Gd > 1:
+        # time order (c, g): tiny relayout (Gd x C per plane)
+        dec = dec3.swapaxes(1, 2).reshape(nop, nch * Ct * Gd)[:, :Ld]
+    else:
+        dec = dec3.reshape(nop, nch * Ct)[:, :Ld]
     decc = (dec[:nout] + 1j * dec[nout:]).astype(E.dtype)
     return outc, decc
