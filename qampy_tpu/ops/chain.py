@@ -24,9 +24,51 @@ qampy/equalisation.py:268-338).
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
-__all__ = ["make_rx_chain"]
+__all__ = ["make_rx_chain", "pallas_eligibility"]
+
+
+def pallas_eligibility(grid, methods, block_size=None, bps_tile=None):
+    """Why (not) the fused Pallas kernels: returns (ok, reasons tuple).
+
+    The rules mirror the kernel preconditions: square-grid constellation
+    (ops/phase_pallas distance decision), methods implemented by the fused
+    block trainer, and — where the caller enforces them statically —
+    lane-tile-aligned block/tile sizes (128 lanes on compiled TPU).
+    """
+    from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
+    reasons = []
+    if grid is None:
+        reasons.append("constellation is not a uniform square grid")
+    bad = [m for m in methods if m not in PALLAS_BLOCK_METHODS]
+    if bad:
+        reasons.append("method(s) %s not implemented by the fused block "
+                       "trainer (%s)" % (bad, ", ".join(PALLAS_BLOCK_METHODS)))
+    if block_size is not None and block_size % 128 != 0:
+        reasons.append("block_size=%d is not a multiple of 128 lanes" % block_size)
+    if bps_tile is not None and bps_tile % 128 != 0:
+        reasons.append("bps_tile=%d is not a multiple of 128 lanes" % bps_tile)
+    return not reasons, tuple(reasons)
+
+
+def _resolve_pallas(pallas, ok, reasons, what="rx chain"):
+    """Combine the user's request with eligibility; warn on a downgrade."""
+    import jax
+    if pallas is None:
+        pallas = jax.default_backend() not in ("cpu",)
+        explicit = False
+    else:
+        explicit = bool(pallas)
+    use = bool(pallas) and ok
+    if explicit and not use:
+        warnings.warn(
+            "pallas=True requested for the %s but the fused kernels are "
+            "ineligible (falling back to XLA): %s" % (what, "; ".join(reasons)),
+            stacklevel=3)
+    return use
 
 
 def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
@@ -66,14 +108,12 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                            dtype=np.float32)
     step_a, lo_a = float(np.pi / 2 / bps_angles), float(-np.pi / 4)
     win_dtype = jnp.bfloat16 if bps_win == "bf16" else None
-    if pallas is None:
-        pallas = jax.default_backend() not in ("cpu",)
     # the fused kernels require a square-grid constellation and a method the
     # block trainer implements; anything else (e.g. cross 32/128-QAM) falls
-    # back to the XLA kernels instead of tripping kernel asserts
-    from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
-    pallas = (bool(pallas) and grid is not None
-              and all(m in PALLAS_BLOCK_METHODS for m in methods))
+    # back to the XLA kernels instead of tripping kernel asserts — with a
+    # warning when the caller explicitly asked for pallas
+    ok, reasons = pallas_eligibility(grid, methods)
+    pallas = _resolve_pallas(pallas, ok, reasons, what="rx chain")
 
     def _derotate(Eeq, ph):
         if pallas and fuse_derot:
@@ -184,4 +224,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         ph = lo_a + step_a * idx.astype(jnp.float32)
         return _derotate(Eeq, ph)
 
+    # introspection: which kernel path the built chain actually takes
+    forward.backend_info = {"pallas": bool(pallas), "reasons": reasons,
+                            "bps_mode": bps_mode, "methods": tuple(methods)}
     return forward

@@ -174,15 +174,15 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
     symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
     from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+    from qampy_tpu.ops.chain import pallas_eligibility, _resolve_pallas
     const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
     grid = phops.detect_square_grid(const)
-    if pallas is None:
-        pallas = jax.default_backend() not in ("cpu",)
-    from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
-    use_pallas = (bool(pallas) and grid is not None
-                  and block_size % 128 == 0  # compiled-TPU lane-tile rule
-                  and bps_tile % 128 == 0
-                  and all(m in PALLAS_BLOCK_METHODS for m in methods))
+    # the compiled-TPU lane-tile rules (block_size/bps_tile % 128) are
+    # checked here statically so an ineligible config degrades loudly
+    # instead of silently running XLA per shard
+    ok, reasons = pallas_eligibility(grid, methods, block_size=block_size,
+                                     bps_tile=bps_tile)
+    use_pallas = _resolve_pallas(pallas, ok, reasons, what="sharded rx chain")
     angles_host = np.linspace(-np.pi / 4, np.pi / 4, bps_angles,
                               endpoint=False, dtype=np.float32)
 
@@ -217,7 +217,17 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
                             in_specs=P(None, TIME),
                             out_specs=(P(None, TIME), P(None, TIME), P()),
                             check_vma=False)
-    return jax.jit(smapped)
+    jitted = jax.jit(smapped)
+
+    # jit wrappers reject attribute assignment; expose backend_info on a
+    # thin callable instead
+    def chain_fn(E):
+        return jitted(E)
+
+    chain_fn.backend_info = {"pallas": bool(use_pallas), "reasons": reasons,
+                             "methods": tuple(methods)}
+    chain_fn.jitted = jitted
+    return chain_fn
 
 
 def shard_signal(E, mesh):

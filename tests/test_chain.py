@@ -80,13 +80,25 @@ class TestRxChain:
 
     def test_cross_qam_falls_back_to_xla(self):
         # cross 32-QAM has no square grid: requesting pallas must fall back
-        # to the XLA kernels instead of tripping kernel asserts
+        # to the XLA kernels (with a warning) instead of tripping kernel
+        # asserts, and backend_info must report the downgrade
         import jax.random as jr
         sig = qt.SignalQAMGrayCoded(32, 2 ** 13, nmodes=2, fb=25e9, seed=3)
         s2 = qt.impairments.change_snr(sig.resample(50e9, beta=0.1), 30,
                                        key=jr.PRNGKey(1))
-        fwd = jax.jit(make_rx_chain(M=32, Ntaps=11, os=2, bps_angles=32,
-                                    bps_N=10, block_size=64, pallas=True,
-                                    methods=("cma", "sbd")))
+        with pytest.warns(UserWarning, match="square grid"):
+            fwd_py = make_rx_chain(M=32, Ntaps=11, os=2, bps_angles=32,
+                                   bps_N=10, block_size=64, pallas=True,
+                                   methods=("cma", "sbd"))
+        assert fwd_py.backend_info["pallas"] is False
+        assert fwd_py.backend_info["reasons"]
+        fwd = jax.jit(fwd_py)
         o = np.asarray(fwd(np.asarray(s2).astype(np.complex64)))
         assert np.isfinite(o).all()
+
+    def test_backend_info_eligible(self):
+        # an eligible config reports pallas-capable with no reasons (the
+        # CPU default backend still auto-disables, but explicit True holds)
+        fwd = make_rx_chain(M=64, Ntaps=17, os=2, block_size=128, pallas=True)
+        assert fwd.backend_info["pallas"] is True
+        assert fwd.backend_info["reasons"] == ()

@@ -103,18 +103,41 @@ class TestShardedChain:
 class TestShardedPallas:
     def test_pallas_kernels_per_shard(self, mesh):
         """The sharded chain with the fused Pallas kernels (interpret mode on
-        the CPU mesh) matches the XLA per-shard path."""
+        the CPU mesh) matches the XLA per-shard path AND really runs Pallas:
+        block_size=128 / bps_tile=256 satisfy the compiled-TPU lane rules, and
+        backend_info confirms the selected path. SER-gated, not isfinite."""
         fb = 25e9
-        sig = qt.SignalQAMGrayCoded(64, 2 ** 11, nmodes=2, fb=fb, seed=1)
+        sig = qt.SignalQAMGrayCoded(16, 2 ** 11, nmodes=2, fb=fb, seed=1)
         s = impairments.change_snr(sig.resample(2 * fb, beta=0.1), 30,
                                    key=jr.PRNGKey(0))
         E = sharded.shard_signal(np.asarray(s).astype(np.complex64), mesh)
-        kw = dict(os=2, mu1=1e-3, mu2=1e-3, M=64, Ntaps=9,
-                  methods=("cma", "rde"), rounds=2, bps_angles=16, bps_N=4,
-                  block_size=16)
-        _, _, evm_x = sharded.make_sharded_rx_chain(mesh, pallas=False, **kw)(E)
-        _, _, evm_p = sharded.make_sharded_rx_chain(mesh, pallas=True,
-                                                    bps_tile=256, **kw)(E)
-        assert np.isfinite(float(evm_p))
+        # bps_N=14: a narrow window (the old N=4) cycle-slips on QAM and the
+        # resulting garbage still has finite (even small) blind EVM — which is
+        # why this test gates on SER now
+        kw = dict(os=2, mu1=1e-3, mu2=1e-3, M=16, Ntaps=9,
+                  methods=("cma", "rde"), rounds=2, bps_angles=32, bps_N=14,
+                  Niter=2, block_size=128)
+        chain_x = sharded.make_sharded_rx_chain(mesh, pallas=False, **kw)
+        chain_p = sharded.make_sharded_rx_chain(mesh, pallas=True,
+                                                bps_tile=256, **kw)
+        assert chain_x.backend_info["pallas"] is False
+        assert chain_p.backend_info["pallas"] is True, \
+            chain_p.backend_info["reasons"]
+        Eout_x, _, evm_x = chain_x(E)
+        Eout_p, _, evm_p = chain_p(E)
+        # quality gate against the known TX symbols (cal_ser syncs through
+        # filter delay / pi-2 rotation / mode pairing)
+        ser_p = np.asarray(sig.replace(samples=np.asarray(Eout_p)).cal_ser())
+        assert np.all(ser_p < 5e-3), ser_p
         # bf16 window sums and block-boundary differences allow small drift
         assert abs(float(evm_p) - float(evm_x)) < 0.02
+
+    def test_ineligible_pallas_request_warns(self, mesh):
+        """An explicit pallas=True that the eligibility rules downgrade must
+        warn (block_size=96 violates the 128-lane tile rule)."""
+        with pytest.warns(UserWarning, match="block_size=96"):
+            chain = sharded.make_sharded_rx_chain(
+                mesh, os=2, mu1=1e-3, mu2=1e-3, M=64, Ntaps=9,
+                methods=("cma", "rde"), block_size=96, pallas=True)
+        assert chain.backend_info["pallas"] is False
+        assert any("block_size" in r for r in chain.backend_info["reasons"])
