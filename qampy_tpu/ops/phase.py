@@ -94,17 +94,36 @@ def bps_idx(E, testangles, symbols, N, grid=None):
     return _select_angle_index(dist, 2 * N)
 
 
-def _select_angle_index(x, N2):
+def _select_angle_index(x, N2, tile=4096):
     """Running-window sum argmin (reference pythran_dsp.py:26-42).
 
     x: (L, A) distances. For i in [N2, L): idx[i - N2//2] = argmin_a of
     sum(x[i-N2+1 : i+1, a]); all other positions 0.
+
+    Numerics: a single f32 cumsum over the full signal accumulates to O(L)
+    and the N2-window difference of two ~10^6 numbers keeps only ~4-5
+    significant digits at L=2^20+ (enough to flip near-tied angle argmins).
+    The cumsum is therefore re-based per ``tile``: each tile gathers its
+    N2-sample lookback and computes a local prefix sum, bounding the
+    accumulated magnitude to tile+N2 samples — full f32 window precision at
+    any signal length (the fused Pallas kernel re-sums per tile the same
+    way). Costs one extra gather of N2/tile of the input.
     """
     L, A = x.shape
-    csum = jnp.cumsum(x, axis=0)
-    # reference: dtmp = csum[i] - csum[i-N2]  (sum over x[i-N2+1..i])
-    mvg = csum[N2:] - csum[:-N2]  # rows correspond to i = N2 .. L-1
-    am = jnp.argmin(mvg, axis=1).astype(jnp.int32)  # (L - N2,)
+    if L <= N2:
+        return jnp.zeros(L, dtype=jnp.int32)
+    Tt = int(tile)
+    ntiles = -(-L // Tt)
+    # xp[k] = x[k - N2] with N2 zeros in front and tail padding
+    xp = jnp.pad(x, ((N2, ntiles * Tt - L), (0, 0)))
+    gidx = (jnp.arange(ntiles) * Tt)[:, None] + jnp.arange(Tt + N2)[None, :]
+    seg = xp[gidx]  # (ntiles, Tt+N2, A) overlapping segments
+    c = jnp.cumsum(seg, axis=1)
+    c0 = jnp.pad(c, ((0, 0), (1, 0), (0, 0)))
+    # win[t, k] = sum x[t*Tt+k-N2+1 .. t*Tt+k] (window ending at t*Tt+k):
+    # seg rows k+1 .. k+N2 = c0[k+N2+1] - c0[k+1]
+    win = (c0[:, N2 + 1: N2 + Tt + 1] - c0[:, 1: Tt + 1]).reshape(ntiles * Tt, A)
+    am = jnp.argmin(win[N2:L], axis=1).astype(jnp.int32)  # windows i=N2..L-1
     idx = jnp.zeros(L, dtype=jnp.int32)
     return idx.at[N2 - N2 // 2: L - N2 // 2].set(am)
 

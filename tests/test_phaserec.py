@@ -57,6 +57,26 @@ class TestBPS:
             np.vstack([np.zeros((1, A)), x[1:]]), N))
         assert np.array_equal(got, idx_ref)
 
+    def test_select_angle_index_precision_at_2e21(self, rng):
+        """The windowed argmin must stay exact at L=2^21 in float32.
+
+        A single full-length f32 cumsum accumulates to ~2^21 where one ulp
+        is 0.125 — larger than the 0.112 total per-window advantage planted
+        here — so the pre-hardening implementation mis-picks a large
+        fraction of positions. The tiled re-based cumsum must recover the
+        planted argmin everywhere.
+        """
+        L, A, N2 = 2 ** 21, 8, 56
+        true_a = 3
+        base = rng.uniform(0.5, 1.5, size=L).astype(np.float32)
+        x = np.broadcast_to(base[:, None], (L, A)).copy()
+        x[:, true_a] -= 2e-3  # exact per-window margin: N2*2e-3 = 0.112
+        got = np.asarray(core_phase._select_angle_index(
+            x.astype(np.float32), N2))
+        interior = got[N2 - N2 // 2: L - N2 // 2]
+        frac_ok = np.mean(interior == true_a)
+        assert frac_ok == 1.0, "windowed argmin lost precision: %.4f ok" % frac_ok
+
 
 class TestViterbiViterbi:
     @pytest.mark.parametrize("M", [4])
