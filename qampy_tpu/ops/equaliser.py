@@ -322,12 +322,15 @@ def train_equaliser_seq(E, TrSyms, Niter, os, mu, wx, symbols, method,
             err = errfn(Xest, syms_row, tr)
             w = w + mu_c * err * conj(X)
             if adaptive:
+                # reference calls adapt_step(mu, err[i], err[i-1]) whose body
+                # shrinks by the *second* argument — the PREVIOUS error
+                # (pythran_equalisation.py:12-22,171)
                 if real_valued:
                     keep = err * err_p > 0
-                    e2 = err * err
+                    e2 = err_p * err_p
                 else:
                     keep = (err.real * err_p.real > 0) & (err.imag * err_p.imag > 0)
-                    e2 = err.real ** 2 + err.imag ** 2
+                    e2 = err_p.real ** 2 + err_p.imag ** 2
                 mu_new = jnp.where(keep, mu_c, mu_c / (1 + mu_c * e2))
                 mu_c = jnp.where(tr > 0, mu_new, mu_c)
             return (w, mu_c, err), err
@@ -411,15 +414,20 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
         w = w + dW.reshape(nout, nmodes, ntaps)
         if adaptive:
             eall = jnp.concatenate([err_p[:, None], err], axis=1)
+            # the reference shrink uses the PREVIOUS error's magnitude
+            # (adapt_step(mu, err[i], err[i-1]), pythran_equalisation.py:12-22)
+            # and skips the first sample of each pass (i > 0 gate, :171)
+            prev = eall[:, :-1]
             if real_valued:
-                flip = ~(eall[:, 1:] * eall[:, :-1] > 0)
-                e2 = err * err
+                flip = ~(eall[:, 1:] * prev > 0)
+                e2 = prev * prev
             else:
-                flip = ~((eall[:, 1:].real * eall[:, :-1].real > 0)
-                         & (eall[:, 1:].imag * eall[:, :-1].imag > 0))
-                e2 = err.real ** 2 + err.imag ** 2
+                flip = ~((eall[:, 1:].real * prev.real > 0)
+                         & (eall[:, 1:].imag * prev.imag > 0))
+                e2 = prev.real ** 2 + prev.imag ** 2
+            flip = flip & (idxs[None, :] > 0)
             # chained mu <- mu/(1+mu*e) == 1/mu += e over flip samples
-            inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2, 0.), axis=1)
+            inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2.real, 0.), axis=1)
             mu_c = 1.0 / inv
         return (w, mu_c, err[:, -1]), err
 

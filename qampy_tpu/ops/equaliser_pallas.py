@@ -112,8 +112,10 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
                 wr_out[m] = wr + mu_c * (er * xr + ei2 * xi)
                 wi_out[m] = wi + mu_c * (ei2 * xr - er * xi)
                 if adaptive:
+                    # shrink by the PREVIOUS error (adapt_step's 2nd arg,
+                    # pythran_equalisation.py:12-22,171)
                     keep = jnp.logical_and(er * ep[m, 0] > 0, ei2 * ep[m, 1] > 0)
-                    e2 = er * er + ei2 * ei2
+                    e2 = ep[m, 0] * ep[m, 0] + ep[m, 1] * ep[m, 1]
                     mu_new = jnp.where(keep, mu_c, mu_c / (1 + mu_c * e2))
                     mu_out[m, 0] = jnp.where(tr > 0, mu_new, mu_c)
                 errs.append(jnp.stack([er, ei2]))
@@ -326,11 +328,17 @@ def _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols, method,
         wr_out[:] = wr + (dot_s(ger, xr) + dot_s(gei, xi))
         wi_out[:] = wi + (dot_s(gei, xr) - dot_s(ger, xi))
         if adaptive:
-            # aggregated reference rule: 1/mu += e^2 over sign-flip samples
+            # aggregated reference rule: 1/mu += e_prev^2 over sign-flip
+            # samples — adapt_step(mu, err[i], err[i-1]) shrinks by its SECOND
+            # argument, the previous error (pythran_equalisation.py:12-22),
+            # and the i > 0 gate (:171) skips the first sample of each pass
             pr = jnp.concatenate([prev_ref[:, 0:1], er[:, :S - 1]], axis=1)
             pi = jnp.concatenate([prev_ref[:, 1:2], ei[:, :S - 1]], axis=1)
             flip = jnp.logical_not(jnp.logical_and(er * pr > 0, ei * pi > 0))
-            e2 = er * er + ei * ei
+            blk = b % nblocks
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) + blk * S
+            flip = jnp.logical_and(flip, sidx > 0)
+            e2 = pr * pr + pi * pi
             inv = 1.0 / mu_c + jnp.sum(jnp.where(flip, e2, 0.), axis=1)
             mu_out[:] = (1.0 / inv)[:, None]
             # static slices: negative/int indexing lowers to dynamic_slice,

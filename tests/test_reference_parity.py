@@ -1,0 +1,270 @@
+"""Direct numeric parity tests against the actual reference implementation.
+
+The reference's pythran modules are valid annotated Python
+(/root/reference/qampy/core/equalisation/pythran_equalisation.py,
+/root/reference/qampy/core/pythran_dsp.py), so the real reference kernels run
+here interpreted on identical inputs and the qampy_tpu kernels must agree
+element-wise (complex128 under x64 where the recurrence is exact; f32-scale
+tolerances for FFT-based ops). This turns the docstring parity citations into
+executed proofs.
+
+The reference tree is imported read-only; sizes are tiny because the
+interpreted reference loops are slow.
+"""
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+ref = pytest.importorskip("qampy", reason="reference tree not available")
+from qampy.core.equalisation import pythran_equalisation as ref_pe  # noqa: E402
+from qampy.core.equalisation import equalisation as ref_eq  # noqa: E402
+from qampy.core import pythran_dsp as ref_dsp  # noqa: E402
+from qampy.core import resample as ref_resample  # noqa: E402
+from qampy import signals as ref_signals  # noqa: E402
+
+from qampy_tpu.ops import equaliser as eqops  # noqa: E402
+from qampy_tpu.ops import phase as phops  # noqa: E402
+from qampy_tpu.core import metrics, resample  # noqa: E402
+from qampy_tpu import prbs, theory  # noqa: E402
+
+
+def _tx_2pol(L, M=16, os=2, seed=0, dtype=np.complex128):
+    """Small dual-pol QAM waveform (host numpy, no pulse shaping needed for
+    kernel-level parity)."""
+    rng = np.random.default_rng(seed)
+    const = (np.asarray(theory.cal_symbols_qam(M))
+             / np.sqrt(float(theory.cal_scaling_factor_qam(M)))).astype(dtype)
+    syms = const[rng.integers(0, M, size=(2, L))]
+    E = np.zeros((2, L * os), dtype=dtype)
+    E[:, ::os] = syms
+    # light smearing so training has work to do, plus noise
+    E = E + 0.4 * np.roll(E, 1, axis=-1) + 0.1 * np.roll(E, -2, axis=-1)
+    E += 0.01 * (rng.standard_normal(E.shape) + 1j * rng.standard_normal(E.shape))
+    return E.astype(dtype), syms, const
+
+
+class TestTrainEqualiser:
+    """qampy_tpu.ops.equaliser.train_equaliser_seq vs reference
+    pythran_equalisation.train_equaliser (:130-173) on identical inputs."""
+
+    @pytest.mark.parametrize("method", ["cma", "cma2", "mcma", "rde", "mrde",
+                                        "sbd", "mddma", "dd"])
+    def test_blind_methods_elementwise(self, method):
+        with jax.enable_x64():
+            E, _, _ = _tx_2pol(256, M=16)
+            TrSyms, Niter, os, mu, ntaps = 120, 2, 2, 1e-3, 7
+            wx0 = eqops._init_taps(ntaps, 2, 2, np.complex128)
+            symbols = eqops._reshape_symbols(None, method, 16, np.complex128, 2)
+            err_ref, wx_ref, mu_ref = ref_pe.train_equaliser(
+                E.copy(), TrSyms, Niter, os, mu, wx0.copy(),
+                np.arange(2), False, symbols.copy(), method)
+            err, wx, mu_out = eqops.train_equaliser_seq(
+                E, TrSyms, Niter, os, mu, wx0, symbols, method, adaptive=False)
+            np.testing.assert_allclose(np.asarray(wx), wx_ref, rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(err), err_ref, rtol=1e-9, atol=1e-12)
+
+    def test_data_aided_sbd(self):
+        with jax.enable_x64():
+            E, syms, _ = _tx_2pol(256, M=16)
+            TrSyms, os, mu, ntaps = 120, 2, 1e-3, 7
+            wx0 = eqops._init_taps(ntaps, 2, 2, np.complex128)
+            symbols = syms[:, :TrSyms].copy()
+            err_ref, wx_ref, _ = ref_pe.train_equaliser(
+                E.copy(), TrSyms, 1, os, mu, wx0.copy(), np.arange(2), False,
+                symbols.copy(), "sbd_data")
+            err, wx, _ = eqops.train_equaliser_seq(
+                E, TrSyms, 1, os, mu, wx0, symbols, "sbd_data", adaptive=False)
+            np.testing.assert_allclose(np.asarray(wx), wx_ref, rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(err), err_ref, rtol=1e-9, atol=1e-12)
+
+    def test_adaptive_stepsize_single_mode(self):
+        # the reference carries one mu across its sequential mode loop, so
+        # adaptive multi-mode parity is only defined per single mode
+        with jax.enable_x64():
+            E, _, _ = _tx_2pol(256, M=4)
+            E1 = E[:1]
+            TrSyms, os, mu, ntaps = 120, 2, 2e-3, 7
+            wx0 = eqops._init_taps(ntaps, 1, 1, np.complex128)
+            symbols = eqops._reshape_symbols(None, "cma", 4, np.complex128, 1)
+            err_ref, wx_ref, mu_ref = ref_pe.train_equaliser(
+                E1.copy(), TrSyms, 2, os, mu, wx0.copy(), np.arange(1), True,
+                symbols.copy(), "cma")
+            err, wx, mu_out = eqops.train_equaliser_seq(
+                E1, TrSyms, 2, os, mu, wx0, symbols, "cma", adaptive=True)
+            np.testing.assert_allclose(np.asarray(wx), wx_ref, rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(float(mu_out[0]), float(mu_ref), rtol=1e-9)
+
+
+class TestApplyFilter:
+    def test_elementwise(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(1)
+            E = (rng.standard_normal((2, 512))
+                 + 1j * rng.standard_normal((2, 512))).astype(np.complex128)
+            wx = (rng.standard_normal((2, 2, 11))
+                  + 1j * rng.standard_normal((2, 2, 11))).astype(np.complex128)
+            out_ref = ref_pe.apply_filter_to_signal(E.copy(), 2, wx.copy())
+            out = np.asarray(eqops.apply_filter_to_signal(E, 2, wx))
+            n = min(out.shape[-1], out_ref.shape[-1])
+            np.testing.assert_allclose(out[:, :n], out_ref[:, :n],
+                                       rtol=1e-9, atol=1e-12)
+
+
+class TestBPS:
+    def test_bps_idx_elementwise(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(2)
+            M, L, A, N = 64, 1024, 16, 8
+            const = (np.asarray(theory.cal_symbols_qam(M))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(M)))).astype(np.complex128)
+            syms = const[rng.integers(0, M, L)]
+            E = syms * np.exp(1j * 0.1 * np.sin(np.arange(L) / 50))
+            E += 0.02 * (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+            angles = np.linspace(-np.pi / 4, np.pi / 4, A,
+                                 endpoint=False).reshape(1, -1)
+            # the reference's interpreted assert requires per-sample angle rows
+            # (pythran strips it when compiled); identical rows keep the same
+            # semantics as the broadcast (1, A) production call
+            idx_ref = ref_dsp.bps(E.copy(), np.tile(angles, (L, 1)),
+                                  const.copy(), N)
+            idx_gen = np.asarray(phops.bps_idx(E, angles, const, N, grid=None))
+            np.testing.assert_array_equal(idx_gen, idx_ref)
+            # the analytic square-grid decision must agree with the O(M) search
+            grid = phops.detect_square_grid(const)
+            assert grid is not None
+            idx_grid = np.asarray(phops.bps_idx(E, angles, const, N, grid=grid))
+            np.testing.assert_array_equal(idx_grid, idx_ref)
+
+    def test_select_angles(self):
+        angles = np.linspace(-1, 1, 16).reshape(1, -1)
+        idx = np.array([0, 3, 15, 7], dtype=np.int32)
+        np.testing.assert_allclose(np.asarray(phops.select_angles(angles, idx)),
+                                   ref_dsp.select_angles(angles, idx))
+
+
+class TestLLRDemappers:
+    def _setup(self):
+        rng = np.random.default_rng(3)
+        M = 64
+        import qampy_tpu as qt
+        sig = qt.SignalQAMGrayCoded(M, 512, nmodes=1, seed=4,
+                                    dtype=np.complex128)
+        bmap = np.asarray(sig.bitmap_mtx).astype(np.complex128)
+        rx = (np.asarray(sig.samples)[0]
+              + 0.05 * (rng.standard_normal(512) + 1j * rng.standard_normal(512)))
+        return rx.astype(np.complex128), bmap, int(np.log2(M))
+
+    def test_exact_logsumexp(self):
+        with jax.enable_x64():
+            rx, bmap, nbits = self._setup()
+            snr = 100.0
+            l_ref = ref_dsp.soft_l_value_demapper(rx.copy(), nbits, snr, bmap.copy())
+            l_got = np.asarray(metrics.soft_l_value_demapper(rx, snr, bmap))
+            np.testing.assert_allclose(l_got, l_ref, rtol=1e-8, atol=1e-10)
+
+    def test_minmax(self):
+        with jax.enable_x64():
+            rx, bmap, nbits = self._setup()
+            snr = 100.0
+            l_ref = ref_dsp.soft_l_value_demapper_minmax(rx.copy(), nbits, snr,
+                                                         bmap.copy())
+            l_got = np.asarray(metrics.soft_l_value_demapper_minmax(rx, snr, bmap))
+            np.testing.assert_allclose(l_got, l_ref, rtol=1e-8, atol=1e-10)
+
+
+class TestEstimateSNR:
+    def test_elementwise(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(5)
+            M = 16
+            const = (np.asarray(theory.cal_symbols_qam(M))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(M)))).astype(np.complex128)
+            tx = const[rng.integers(0, M, 4096)]
+            rx = tx + 0.05 * (rng.standard_normal(4096) + 1j * rng.standard_normal(4096))
+            snr_ref, s0_ref, n0_ref = ref_dsp.estimate_snr(rx.copy(), tx.copy(),
+                                                           const.copy())
+            snr, s0, n0 = metrics.estimate_snr(rx, tx, const)
+            np.testing.assert_allclose(float(snr), snr_ref, rtol=1e-9)
+            np.testing.assert_allclose(float(s0), s0_ref, rtol=1e-9)
+            np.testing.assert_allclose(float(n0), n0_ref, rtol=1e-9)
+
+
+class TestEqualiserConstants:
+    @pytest.mark.parametrize("M", [4, 16, 64, 256])
+    def test_partition_codebooks(self, M):
+        np.testing.assert_allclose(eqops.generate_partition_codes_radius(M),
+                                   ref_eq.generate_partition_codes_radius(M),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(eqops.generate_partition_codes_complex(M),
+                                   ref_eq.generate_partition_codes_complex(M),
+                                   rtol=1e-12)
+
+    @pytest.mark.parametrize("M", [4, 16, 64])
+    def test_radius_constants(self, M):
+        np.testing.assert_allclose(eqops._cal_Rconstant(M),
+                                   ref_eq._cal_Rconstant(M), rtol=1e-12)
+        np.testing.assert_allclose(eqops._cal_Rconstant_complex(M),
+                                   ref_eq._cal_Rconstant_complex(M), rtol=1e-12)
+
+    @pytest.mark.parametrize("method,M", [("cma", 16), ("mcma", 64),
+                                          ("rde", 16), ("mrde", 64),
+                                          ("sbd", 16), ("dd", 64)])
+    def test_generate_symbols_for_eq(self, method, M):
+        got = np.asarray(eqops.generate_symbols_for_eq(method, M, np.complex128)).ravel()
+        want = np.asarray(ref_eq.generate_symbols_for_eq(method, M, np.complex128)).ravel()
+        np.testing.assert_allclose(np.sort_complex(got), np.sort_complex(want),
+                                   rtol=1e-9)
+
+
+class TestPilotFrameLayout:
+    @pytest.mark.parametrize("frame_len,seq_len,ins_rat",
+                             [(2 ** 16, 1024, 32), (2 ** 14, 512, 32),
+                              (4096, 256, 64)])
+    def test_cal_pilot_idx(self, frame_len, seq_len, ins_rat):
+        from qampy_tpu.signals import SignalWithPilots
+        idx, idx_dat, idx_pil = SignalWithPilots._cal_pilot_idx(
+            frame_len, seq_len, ins_rat)
+        ridx, ridx_dat, ridx_pil = ref_signals.SignalWithPilots._cal_pilot_idx(
+            frame_len, seq_len, ins_rat)
+        np.testing.assert_array_equal(idx_dat, ridx_dat)
+        np.testing.assert_array_equal(idx_pil, ridx_pil)
+
+
+class TestResample:
+    def test_rrcos_resample(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(6)
+            sig = (rng.standard_normal(2048)
+                   + 1j * rng.standard_normal(2048)).astype(np.complex128)
+            out_ref = ref_resample.rrcos_resample(sig.copy(), 1.0, 2.0,
+                                                  beta=0.1, taps=501)
+            out = np.asarray(resample.rrcos_resample(sig, 1.0, 2.0,
+                                                     beta=0.1, taps=501))
+            assert out.shape == out_ref.shape
+            # fftconvolve vs jnp FFT filtering: agreement to f32-scale noise
+            np.testing.assert_allclose(out, out_ref, rtol=1e-6, atol=1e-7)
+
+
+class TestPRBS:
+    @pytest.mark.parametrize("order", [7, 15])
+    def test_prbs_ext(self, order):
+        taps = {7: [7, 6], 15: [15, 14]}[order]
+        seed = 0b1010101 if order == 7 else 0b101010101010101
+        want = ref_dsp.prbs_ext(seed, np.array(taps), order, 512)
+        got = np.asarray(prbs.prbs_ext(seed, np.array(taps), order, 512))
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+    def test_prbs_int(self):
+        # 15-bit internal-XOR LFSR; mask convention 2^n + 2^(n-1) + 1 from
+        # reference core/prbs.py make_prbs_intXOR (the top bit must be in the
+        # mask so the Galois feedback clears it each shift)
+        mask = 2 ** 15 + 2 ** 14 + 1
+        want = ref_dsp.prbs_int(0b101010101010101, mask, 15, 512)
+        got = np.asarray(prbs.prbs_int(0b101010101010101, mask, 15, 512))
+        np.testing.assert_array_equal(got, np.asarray(want))
