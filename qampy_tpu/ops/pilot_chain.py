@@ -1,0 +1,317 @@
+"""Fused single-dispatch pilot RX chain (the pilot-frame serving path).
+
+``make_pilot_rx_chain`` builds one jittable ``forward(E) -> (data, info)``
+that runs the reference's full pilot receiver — frame synchronisation,
+two-stage data-aided pilot equalisation, tap-frozen frame filtering and
+pilot-aided carrier phase estimation — as a SINGLE XLA program. Parity
+workload: reference ``test/sim_pilot_txrx.py`` (run_pilot_receiver2) driving
+``qampy/core/pilotbased_receiver.py:329-554`` and
+``pilot_based_cpe_new`` (:258-327).
+
+TPU-first re-design of each stage (vs the reference's host loops):
+
+* frame sync (reference :329-434): the ~W candidate windows are trained in
+  ONE vmapped MXU block-LMS call (the windows dimension is a batch axis);
+  the per-mode alignment is a single batched FFT cross-correlation over all
+  ``nmodes x nmodes`` (output mode, tx mode) pairs, and the greedy mode
+  assignment runs as traced argmax-with-mask arithmetic — no host round
+  trips, the found shifts stay on device as traced integers feeding
+  ``lax.dynamic_slice``.
+* pilot equalisation (reference :454-554): the three trainings per mode
+  (blind warm-up + two data/pilot passes) run on the MXU block trainer
+  (ops/equaliser.train_equaliser_block) instead of Niter*seq_len sequential
+  steps — ~240 fused matmul steps instead of ~30k scalar recurrence steps.
+* frame filter: the windows-batched MXU contraction
+  (ops/equaliser.apply_filter_to_signal) over the frame at the traced shift.
+* CPE (reference :258-327): phase-pilot gather, unwrap, cumsum moving
+  average and linear interpolation — all fused elementwise/FFT-free XLA.
+
+The granular API (ops/pilots.py) keeps the reference's step-by-step
+orchestration for interactive use; this module is the production fast path
+behind bench.py's pilot-chain number.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["make_pilot_rx_chain"]
+
+
+def _xcorr_batched(xf, y, n, nfft):
+    """Full linear cross-correlation of a batch of references against y.
+
+    ``xf = fft(x, nfft)`` is precomputed host-side for the (static)
+    reference sequences; ``y`` is traced. Returns
+    ``core/sync._xcorr_full(x_j, y) = fftconvolve(x_j, conj(y)[::-1])``
+    for every reference row j in one batched FFT.
+    """
+    import jax.numpy as jnp
+    Y = jnp.fft.fft(jnp.conj(y)[..., ::-1], nfft)
+    return jnp.fft.ifft(xf * Y)[..., :n]
+
+
+def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
+                        os=2, M=64, nmodes=2, M_pilot=4,
+                        sync_Ntaps=17, sync_mu=1e-3, sync_Niter=10,
+                        Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
+                        methods=("cma", "cma"), foe_comp=False,
+                        cpe_avg=3, cpe_pilot_rat=1, frame=0,
+                        block_size=128, pallas=None):
+    """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
+
+    Parameters mirror the granular chain: ``pilot_seq`` (nmodes,
+    pilot_seq_len) and ``ph_pilots`` (nmodes, nph) are the known TX pilots
+    as HOST numpy complex arrays (device arrays as jit closure constants
+    break on transports that cannot fetch complex buffers);
+    ``frame_len``/``pilot_ins_rat`` the SignalWithPilots layout;
+    ``sync_*`` the frame-search training (reference frame_sync defaults,
+    signals.py sync2frame); ``Ntaps``/``mu``/``Niter``/``methods`` the
+    two-stage pilot equaliser (reference equalize_pilot_sequence);
+    ``cpe_avg``/``cpe_pilot_rat`` the pilot CPE; ``frame`` which frame of
+    the capture to demodulate. ``E`` is the complex (nmodes, L) capture at
+    ``os`` samples/symbol with L >= (frame_len + 2*pilot_seq_len)*os.
+
+    Returns ``(data, info)`` where ``data`` is the (nmodes, n_data)
+    demodulated payload symbol sequence (pilots removed) and ``info`` is a
+    dict of real-valued diagnostics: ``shift`` (per-mode frame offsets in
+    samples), ``sync_corr`` (the weakest pilot autocorrelation peak — frame
+    sync is unreliable below ops.pilots.FRAME_SYNC_THRS), ``foe`` (per-mode
+    coarse + pilot frequency-offset estimate, fractional units), ``phase``
+    (the CPE trace over the frame), ``mode_order`` (the found mode
+    permutation).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from qampy_tpu.ops import equaliser as eqops
+    from qampy_tpu.ops.chain import _resolve_pallas
+    from qampy_tpu.signals import SignalWithPilots
+
+    dtype = np.complex64
+    pilot_seq = np.asarray(pilot_seq).astype(dtype)
+    ph_pilots = np.asarray(ph_pilots).astype(dtype)
+    nmodes = int(nmodes)
+    seq_len = pilot_seq.shape[-1]
+    frame_len = int(frame_len)
+    os = int(os)
+    assert pilot_seq.shape[0] == nmodes and ph_pilots.shape[0] == nmodes
+    if methods[1] in eqops.DATA_AIDED or methods[0] in eqops.DATA_AIDED:
+        assert methods[0] not in eqops.REAL_VALUED, \
+            "fused pilot chain implements complex-valued methods"
+
+    # ---- static frame-sync geometry (reference :358-366) ------------------
+    sw = seq_len * os                       # search window
+    step = sw // 2                          # search_overlap = 2
+    num_steps = frame_len * os // step + 1
+    starts = np.arange(2, num_steps) * step          # candidate window starts
+    W = starts.shape[0]
+    win_idx = (starts[:, None] + np.arange(sw)[None, :]).reshape(-1)
+    TrS_sync = eqops._cal_training_symbol_len(os, sync_Ntaps, sw)
+    sym_sync = eqops._reshape_symbols(None, "cma", M_pilot, dtype, nmodes)
+    w0_sync = eqops._init_taps(sync_Ntaps, nmodes, nmodes, dtype)
+    # alignment segment: 2 search windows around the winning start
+    Ls = (2 * sw - sync_Ntaps) // os + 1     # symbols out of the aligner
+    nxc = seq_len + Ls - 1
+    nfft = int(2 ** np.ceil(np.log2(nxc)))
+    # precomputed FFT of the pilot sequences (host constants)
+    seq_f = np.fft.fft(pilot_seq, nfft, axis=-1)
+    foe_fft = 2 ** 16
+
+    # ---- static pilot-equaliser geometry (reference :454-554) -------------
+    seg_len = seq_len * os + Ntaps - 1
+    TrS_eq = eqops._cal_training_symbol_len(os, Ntaps, seg_len)
+    sym_st1 = eqops._reshape_symbols(None, methods[0], M_pilot, dtype, 1)
+    da = [m in eqops.DATA_AIDED for m in methods]
+    w0_eq = eqops._init_taps(Ntaps, nmodes, nmodes, dtype)
+    if (Ntaps - sync_Ntaps) % os != 0:
+        raise ValueError("Taps for search and convergence improperly configured")
+    tap_corr = (Ntaps - sync_Ntaps) // 2    # reference correct_shifts (:436-443)
+
+    # ---- static CPE geometry (reference :258-327, phaserec.pilot_cpe) -----
+    _, idx_dat, idx_pil = SignalWithPilots._cal_pilot_idx(
+        frame_len, seq_len, pilot_ins_rat)
+    ph_idx = np.nonzero(idx_pil)[0][seq_len:][::cpe_pilot_rat]
+    pil_cpe = ph_pilots[:, ::cpe_pilot_rat][:, :ph_idx.shape[0]]
+    if cpe_avg % 2 == 0:
+        cpe_avg += 1
+    i_adj = (cpe_avg - 1) // 2
+    idx_avg = ph_idx[i_adj:-i_adj].astype(np.float32)
+    dat_idx = np.nonzero(idx_dat)[0]
+
+    # the fused chain's Pallas use is the frame filter (always eligible for
+    # complex taps); the trainers are the vmapped XLA block kernels so that
+    # the window search batches as plain XLA matmuls
+    use_pallas = _resolve_pallas(pallas, True, (), what="pilot rx chain")
+
+    S = int(block_size)
+
+    def _train(E_seg, TrS, Niter_, mu_, w, syms, method):
+        err, wx, _ = eqops.train_equaliser_block(
+            E_seg, int(TrS), int(Niter_), os, float(mu_), w, syms, method,
+            adaptive=True, block_size=S)
+        return err, wx
+
+    def forward(E):
+        """One full pilot RX: sync -> pilot eq -> filter -> CPE -> payload."""
+        L = E.shape[-1]
+        assert E.shape[0] == nmodes
+        assert L >= (frame_len + 2 * seq_len) * os, \
+            "Signal must be at least as long as frame"
+        fdt = E.real.dtype
+
+        # ---- 1. frame sync: batched window search ----------------------
+        win = jnp.take(E, jnp.asarray(win_idx), axis=-1)
+        win = win.reshape(nmodes, W, sw).swapaxes(0, 1)      # (W, nmodes, sw)
+        w0s = jnp.asarray(w0_sync)
+
+        def train_window(w_seg):
+            err, wx = _train(w_seg, TrS_sync, sync_Niter, sync_mu, w0s,
+                             jnp.asarray(sym_sync), "cma")
+            # complex variance of the training error (reference :385)
+            em = jnp.mean(err, axis=-1, keepdims=True)
+            return wx, jnp.mean(jnp.abs(err - em) ** 2, axis=-1)
+
+        wxs, evars = jax.vmap(train_window)(win)             # (W,n,n,t), (W,n)
+        best_w = jnp.argmin(evars, axis=0)                   # (nmodes,)
+        starts_d = jnp.asarray(starts)
+
+        # ---- per-mode alignment: one batched xcorr per output mode -----
+        # The reference (:399-401) estimates a coarse FOE from the equalised
+        # window by the 4th-power spectral peak and derotates before
+        # correlating. That estimate is fragile when the window straddles
+        # payload data (a spurious peak smears the pilot phase and collapses
+        # the correlation); we correlate BOTH the raw and the FOE-derotated
+        # output and keep the stronger hypothesis — robust to genuine
+        # offsets (raw collapses, derotated peaks) and to spurious FOE
+        # (derotated collapses, raw peaks) at the cost of one extra row in
+        # the already-batched FFT.
+        found = jnp.zeros((nmodes,), dtype=bool)
+        mode_order = []
+        shifts = []
+        peak_acs = []
+        foe_coarse = jnp.zeros((), fdt)
+        for l in range(nmodes):
+            iw = best_w[l]
+            seg0 = starts_d[iw] - sw
+            seg = lax.dynamic_slice(E, (0, seg0), (nmodes, 2 * sw))
+            wx_l = wxs[iw]                                   # traced gather
+            sy = eqops.apply_filter_to_signal(seg, os, wx_l)  # (nmodes, Ls)
+            # coarse FOE on the equalised window (reference :399-400)
+            f4 = jnp.abs(jnp.fft.fft(sy ** 4, foe_fft, axis=-1)) ** 2
+            fvec = jnp.asarray(np.fft.fftfreq(foe_fft) / 4, fdt)
+            foe_l = jnp.mean(fvec[jnp.argmax(f4, axis=-1)])
+            t = jnp.arange(1, Ls + 1, dtype=fdt)
+            rot = jnp.exp(-1j * (2 * np.pi * foe_l) * t).astype(E.dtype)
+            sy2 = jnp.stack([sy[l], sy[l] * rot])            # (2, Ls)
+            # all (hypothesis, tx mode) pairs in ONE FFT correlation batch
+            ac = _xcorr_batched(jnp.asarray(seq_f)[None, :, :], sy2[:, None, :],
+                                nxc, nfft)                    # (2, nmodes, nxc)
+            # reference find_sequence_offset_complex: peak over the 4-fold
+            # rotation = max(|Re|, |Im|) pointwise
+            acr = jnp.maximum(jnp.abs(ac.real), jnp.abs(ac.imag))
+            acm2 = jnp.max(acr, axis=-1)                      # (2, nmodes)
+            hyp = jnp.argmax(acm2, axis=0)                    # (nmodes,)
+            acm = jnp.max(acm2, axis=0)                       # (nmodes,)
+            # greedy assignment with found-mask (reference :404-418)
+            masked = jnp.where(found, -jnp.inf, acm)
+            p = jnp.argmax(masked)
+            found = found | (jnp.arange(nmodes) == p)
+            delay = -(jnp.argmax(jnp.abs(ac[hyp[p], p])) - (Ls - 1))
+            foe_coarse = jnp.where(jnp.asarray(l == 0),
+                                   jnp.where(hyp[p] == 1, foe_l, foe_coarse),
+                                   foe_coarse)
+            mode_order.append(p)
+            peak_acs.append(masked[p])
+            shifts.append(starts_d[iw] - sw + os * delay)
+        mode_order = jnp.stack(mode_order)
+        shift = jnp.stack(shifts).astype(jnp.int32)
+        sync_corr = jnp.min(jnp.stack(peak_acs))
+
+        # reference sync2frame (signals.py:1709-1744): reorder modes, wrap
+        # negative shifts by one frame
+        E2 = E[mode_order]
+        shift = shift[mode_order]
+        shift = jnp.where(shift < 0, shift + frame_len * os, shift)
+
+        # ---- 2. pilot equalisation (two-stage, per mode) ----------------
+        eqsh = shift - tap_corr
+        eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
+        ref_seq = jnp.asarray(pilot_seq)
+        # stage 1: blind warm-up on the pilot alphabet per mode
+        # (reference :506-520), plus the pilot FOE estimate (:32-73)
+        segs, warm, foe_rows = [], [], []
+        for i in range(nmodes):
+            seg = lax.dynamic_slice(E2, (0, eqsh[i]), (nmodes, seg_len))
+            segs.append(seg)
+            w_i = jnp.asarray(w0_eq[i:i + 1])
+            _, w1 = _train(seg, TrS_eq, Niter, mu[0], w_i,
+                           jnp.asarray(sym_st1), methods[0])
+            warm.append(w1)
+            if foe_comp:
+                sy = eqops.apply_filter_to_signal(seg, os, w1)[0]
+                # pilot FOE: phase slope of conj(ref)*rx (reference :32-73)
+                pe = jnp.unwrap(jnp.angle(jnp.conj(ref_seq[i]) * sy[:seq_len]))
+                x = jnp.arange(seq_len, dtype=fdt)
+                xm = x - x.mean()
+                foe_rows.append(jnp.sum(xm * (pe - pe.mean())) /
+                                jnp.sum(xm * xm) / (2 * np.pi))
+        if foe_comp:
+            foe_pil = jnp.mean(jnp.stack(foe_rows))
+        else:
+            foe_pil = jnp.zeros((), fdt)
+        # stages 2+3 (reference :530-554): FOE-correct the pilot segment,
+        # then retrain from the warm taps
+        rows = []
+        for i in range(nmodes):
+            seg = segs[i]
+            if foe_comp:
+                ts = jnp.arange(1, seg_len + 1, dtype=fdt)
+                seg = seg * jnp.exp(-1j * (2 * np.pi * foe_pil / os)
+                                    * ts).astype(seg.dtype)
+            s2 = (ref_seq[i:i + 1] if da[0] else
+                  jnp.asarray(eqops._reshape_symbols(None, methods[0],
+                                                     M_pilot, dtype, 1)))
+            s3 = (ref_seq[i:i + 1] if da[1] else
+                  jnp.asarray(eqops._reshape_symbols(None, methods[1],
+                                                     M_pilot, dtype, 1)))
+            w2 = warm[i]
+            for (mu_k, s_k, m_k) in ((mu[0], s2, methods[0]),
+                                     (mu[1], s3, methods[1])):
+                _, w2 = _train(seg, TrS_eq, Niter, mu_k, w2, s_k, m_k)
+            rows.append(w2[0])
+        taps = jnp.stack(rows)                                # (n, n, Ntaps)
+
+        # ---- 3. filter the frame at the traced shift --------------------
+        fr_len = frame_len * os + Ntaps - 1
+        base = frame * frame_len * os
+        if foe_comp:
+            t = jnp.arange(1, E2.shape[-1] + 1, dtype=fdt)
+            E2 = E2 * jnp.exp(-1j * (2 * np.pi * foe_pil / os) * t).astype(E2.dtype)
+        sym_rows = []
+        for i in range(nmodes):
+            seg = lax.dynamic_slice(E2, (0, eqsh[i] + base), (nmodes, fr_len))
+            sym_rows.append(eqops.apply_filter_to_signal(seg, os,
+                                                         taps[i:i + 1])[0])
+        sym = jnp.stack(sym_rows)                             # (nmodes, F)
+
+        # ---- 4. pilot CPE (reference :258-327) ---------------------------
+        rec_pil = sym[:, jnp.asarray(ph_idx)]
+        res_ph = jnp.unwrap(jnp.angle(jnp.conj(jnp.asarray(pil_cpe))
+                                      * rec_pil), axis=-1)
+        z = jnp.zeros((nmodes, 1), res_ph.dtype)
+        cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
+        ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
+        xq = jnp.arange(frame_len, dtype=jnp.float32)
+        trace = jax.vmap(lambda p: jnp.interp(xq, jnp.asarray(idx_avg), p))(ph_avg)
+        out = sym * jnp.exp(-1j * trace).astype(sym.dtype)
+
+        data = out[:, jnp.asarray(dat_idx)]
+        info = {"shift": shift, "sync_corr": sync_corr,
+                "foe": foe_coarse + foe_pil, "phase": trace,
+                "mode_order": mode_order}
+        return data, info
+
+    forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),
+                            "methods": tuple(methods),
+                            "trainer": "block(xla, vmapped)"}
+    return forward

@@ -1,0 +1,103 @@
+"""Fused single-dispatch pilot RX chain (ops/pilot_chain.py).
+
+Functional recovery through the whole jitted receiver — frame sync, pilot
+equalisation, frame filtering, pilot CPE — against the reference pilot
+tolerances (reference test/test_pilot_signal.py:103-118: SER < 1e-4 /
+BER < 1e-5 at high SNR; here the frames are shorter so the gates are scaled
+to the ~1e4-symbol payloads).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+import qampy_tpu as qt
+from qampy_tpu.ops.pilot_chain import make_pilot_rx_chain
+
+FRAME = 2 ** 14
+SEQ = 512
+INS = 32
+
+
+def _make_sig(seed=7, **imp):
+    sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=3, nmodes=2,
+                              fb=24e9, seed=seed)
+    s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+    if imp:
+        s2 = qt.impairments.simulate_transmission(s2, key=jr.PRNGKey(11), **imp)
+    return sig, s2
+
+
+def _run(sig, s2, cut=5000, **kwargs):
+    # 17 taps like the reference's pilot tests (test_pilot_signal.py:85,94):
+    # the short 512-symbol pilot sequence cannot train 45 taps cleanly
+    kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3)
+    kw.update(kwargs)
+    fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
+                              np.asarray(sig.ph_pilots),
+                              sig.frame_len, sig.pilot_ins_rat, **kw)
+    data, info = jax.jit(fwd)(jnp.asarray(s2.samples[:, cut:]))
+    out = sig.get_data().replace(samples=jnp.asarray(np.asarray(data)))
+    return out, info
+
+
+class TestFusedPilotChain:
+    def test_baseline_pmd_phase_noise(self):
+        sig, s2 = _make_sig(snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3)
+        out, info = _run(sig, s2)
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert float(info["sync_corr"]) > 120
+        assert np.all(ser < 5e-4), ser
+
+    def test_modal_delay_distinct_shifts(self):
+        sig, s2 = _make_sig(snr=30, dgd=20e-12, theta=np.pi / 4.3,
+                            lwdth=20e3, modal_delay=[0, 3333])
+        out, info = _run(sig, s2)
+        ser = np.asarray(out.cal_ser(synced=True))
+        shift = np.asarray(info["shift"])
+        assert shift[0] != shift[1]
+        assert np.all(ser < 5e-4), ser
+
+    def test_mode_swap(self):
+        sig, s2 = _make_sig(snr=30)
+        s3 = s2.replace(samples=s2.samples[::-1])
+        out, info = _run(sig, s3)
+        assert list(np.asarray(info["mode_order"])) == [1, 0]
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 5e-4), ser
+
+    def test_freq_offset_foe_comp(self):
+        sig, s2 = _make_sig(snr=30, freq_off=100e3)
+        out, info = _run(sig, s2, foe_comp=True)
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 5e-4), ser
+
+    def test_data_aided_second_stage(self):
+        sig, s2 = _make_sig(snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3)
+        out, info = _run(sig, s2, methods=("cma", "sbd_data"))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 5e-4), ser
+
+    def test_matches_granular_chain(self):
+        """Fused chain vs the step-by-step API on the same capture."""
+        sig, s2 = _make_sig(snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3)
+        out, info = _run(sig, s2)
+        s4 = s2[:, 5000:]
+        s4.sync2frame(Ntaps=17)
+        assert np.array_equal(np.sort(np.asarray(s4.shiftfctrs)),
+                              np.sort(np.asarray(info["shift"])))
+        wxy, eq_sig = qt.equalisation.pilot_equaliser(
+            s4, (1e-3, 1e-3), 17, apply=True, foe_comp=False)
+        d, _ = qt.phaserec.pilot_cpe(eq_sig, N=3, nframes=1)
+        ser_gran = np.asarray(d.cal_ser())
+        ser_fused = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser_fused < 5e-4) and np.all(ser_gran < 5e-4)
+
+    def test_backend_info(self):
+        sig, _ = _make_sig()
+        fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
+                                  np.asarray(sig.ph_pilots),
+                                  sig.frame_len, sig.pilot_ins_rat)
+        assert "trainer" in fwd.backend_info
+        assert fwd.backend_info["methods"] == ("cma", "cma")
