@@ -232,6 +232,153 @@ def main():
     print(json.dumps(result))
 
 
+def pilot_maketx(path):
+    """Synthesise the pilot-chain TX capture on the CPU backend and save it
+    as float32 planes + metadata (the TPU subprocess only sees the RX
+    workload; complex arrays never cross the tunnel).
+
+    Workload: reference test/sim_pilot_txrx.py / BASELINE config 4 —
+    SignalWithPilots(64, 2^16, 1024, 32) dual-pol at 24 GBd, RRC 2x,
+    100 kHz-class phase noise, PMD, 35 dB SNR.
+    """
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.random as jr
+    import qampy_tpu as qt
+    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, 12
+    sig = qt.SignalWithPilots(M, F, P, R, nframes=NF, nmodes=2, fb=24e9, seed=3)
+    s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+    s2 = qt.impairments.simulate_transmission(
+        s2, snr=35, lwdth=20e3, dgd=20e-12, theta=np.pi / 4.3,
+        roll_frame_sync=True, key=jr.PRNGKey(5))
+    E = np.asarray(s2.samples).astype(np.complex64)
+    coded = np.asarray(sig.coded_symbols).astype(np.complex64)
+    pay = np.asarray(sig.get_data(frames=[0]).samples).astype(np.complex64)
+    idx_tx = np.argmin(np.abs(pay[:, :, None] - coded[None, None, :]),
+                       axis=-1).astype(np.int32)
+    bits_tbl = np.asarray(sig._symbols_obj._encoding).astype(np.uint8)
+    np.savez(path,
+             Er=np.ascontiguousarray(E.real), Ei=np.ascontiguousarray(E.imag),
+             seq_r=np.asarray(sig.pilot_seq).real.astype(np.float32),
+             seq_i=np.asarray(sig.pilot_seq).imag.astype(np.float32),
+             ph_r=np.asarray(sig.ph_pilots).real.astype(np.float32),
+             ph_i=np.asarray(sig.ph_pilots).imag.astype(np.float32),
+             coded_r=coded.real.astype(np.float32),
+             coded_i=coded.imag.astype(np.float32),
+             idx_tx=idx_tx, bits_tbl=bits_tbl,
+             meta=np.array([M, F, P, R, NF], dtype=np.int64))
+    print("pilot tx ready: %s" % (E.shape,), file=sys.stderr, flush=True)
+
+
+def pilot_main(path, nframes_proc, gate_ber):
+    """Time the fused pilot RX chain on the real chip, BER-gated.
+
+    One dispatch = frame sync + two-stage pilot equalisation + per-frame
+    filtering and pilot CPE over ``nframes_proc`` frames (the steady-state
+    serving pattern). Throughput counts PAYLOAD symbols only (pilot
+    overhead excluded). Gate: BER < gate_ber against the known TX bits
+    (reference tolerance BER < 1e-5, test/test_pilot_signal.py:103-118).
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from qampy_tpu.ops.pilot_chain import make_pilot_rx_chain
+    from qampy_tpu.core.metrics import decision_idx
+
+    print("devices: %s" % jax.devices(), file=sys.stderr, flush=True)
+    d = np.load(path)
+    M, F, P, R, NF = [int(x) for x in d["meta"]]
+    seq = (d["seq_r"] + 1j * d["seq_i"]).astype(np.complex64)
+    ph = (d["ph_r"] + 1j * d["ph_i"]).astype(np.complex64)
+    coded = (d["coded_r"] + 1j * d["coded_i"]).astype(np.complex64)
+    frames = tuple(range(int(nframes_proc)))
+    fwd = make_pilot_rx_chain(seq, ph, F, R, os=2, M=M, nmodes=2,
+                              sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
+                              Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
+                              cpe_avg=3, frames=frames)
+    idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
+    bits_h = d["bits_tbl"].astype(np.float32)
+    nsym_payload = idx_tx.shape[-1] * idx_tx.shape[0]
+
+    def fetch(x, what="value"):
+        for attempt in range(4):
+            try:
+                return np.asarray(x)
+            except Exception as e:
+                print("d2h %s attempt %d failed: %s" % (what, attempt, e),
+                      file=sys.stderr, flush=True)
+                time.sleep(5)
+        raise RuntimeError("device->host transfer failed for %s" % what)
+
+    fetch(jax.jit(lambda: jnp.zeros(8, jnp.float32))(), "warmup")
+    Er = jax.device_put(d["Er"])
+    Ei = jax.device_put(d["Ei"])
+
+    @jax.jit
+    def gate(er, ei):
+        data, info = fwd(er + 1j * ei)
+        idx_rx = decision_idx(data, coded)
+        bt = jnp.asarray(bits_h)
+        it = jnp.asarray(idx_tx)
+        ber = jnp.mean((bt[idx_rx] != bt[it]).astype(jnp.float32))
+        ser = jnp.mean((idx_rx != it).astype(jnp.float32))
+        return ber, ser, info["sync_corr"]
+
+    print("compiling pilot chain (frames=%d)..." % len(frames),
+          file=sys.stderr, flush=True)
+    for attempt in range(5):
+        try:
+            res = jax.block_until_ready(gate(Er, Ei))
+            ber, ser, corr = [float(fetch(x, "gate")) for x in res]
+            break
+        except Exception as e:
+            print("pilot attempt %d failed: %s" % (attempt, str(e)[:200]),
+                  file=sys.stderr, flush=True)
+            time.sleep(10)
+    else:
+        raise RuntimeError("pilot chain execution failed after retries")
+    print("pilot gate: BER=%.2e SER=%.2e sync_corr=%.0f" % (ber, ser, corr),
+          file=sys.stderr, flush=True)
+    if ber > gate_ber or corr < 120:
+        print("pilot gate failed: BER %.2e > %.0e (corr %.0f)"
+              % (ber, gate_ber, corr), file=sys.stderr, flush=True)
+        sys.exit(3)
+
+    REPS_A, REPS_B = 3, 13
+
+    def make_timed(reps):
+        @jax.jit
+        def timed(er, ei, s0):
+            def body(i, carry):
+                scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                data, _ = fwd(er * scale + 1j * (ei * scale))
+                return jnp.mean(jnp.abs(data)).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, reps, body, s0)
+        return timed
+
+    timedA, timedB = make_timed(REPS_A), make_timed(REPS_B)
+    fetch(timedA(Er, Ei, jnp.float32(0.)), "warmA")
+    fetch(timedB(Er, Ei, jnp.float32(0.5)), "warmB")
+
+    def run(f, seed):
+        t0 = time.perf_counter()
+        fetch(f(Er, Ei, jnp.float32(seed)), "timed")
+        return time.perf_counter() - t0
+
+    tA = min(run(timedA, 1.0), run(timedA, 2.0))
+    tB = min(run(timedB, 3.0), run(timedB, 4.0))
+    dt = max(tB - tA, 1e-9) / (REPS_B - REPS_A)
+    print("pilot per-chain %.2f ms (tA=%.0f ms tB=%.0f ms)"
+          % (dt * 1e3, tA * 1e3, tB * 1e3), file=sys.stderr, flush=True)
+    msym_s = nsym_payload / dt / 1e6
+    print(json.dumps({"pilot_chain_msym_s": round(msym_s, 2),
+                      "pilot_chain_ber": ber,
+                      "pilot_chain_frames_per_dispatch": len(frames)}))
+
+
 def _supervise():
     """Run attempts in isolated subprocesses: a tunnel failure poisons the
     whole process, so each (block_size) attempt gets a fresh interpreter."""
@@ -247,6 +394,7 @@ def _supervise():
         (256, 2 ** 15, "single", 1e-4),
         (256, 2 ** 16, "single", 1e-4),
     )
+    blind = None
     for bs, trs, mode, thr in attempts:
         proc = subprocess.run([sys.executable, __file__, "--single", str(bs),
                                str(trs), mode, repr(thr)],
@@ -256,15 +404,52 @@ def _supervise():
             if l.startswith("{"):
                 line = l
         if proc.returncode == 0 and line:
-            print(line)
-            return 0
+            blind = json.loads(line)
+            break
         sys.stderr.write(proc.stderr[-2000:] + "\n")
         sys.stderr.flush()
-    return 1
+    if blind is None:
+        return 1
+
+    # ---- pilot-chain number (BASELINE config 4), merged into the same
+    # JSON line: TX synthesis runs in a CPU-forced subprocess, the timing
+    # attempt on the real chip with a BER gate at the reference tolerance
+    tx_path = "/tmp/qampy_pilot_tx.npz"
+    try:
+        import os.path
+        if not os.path.exists(tx_path):
+            proc = subprocess.run([sys.executable, __file__,
+                                   "--pilot-maketx", tx_path],
+                                  capture_output=True, text=True, timeout=1200)
+            if proc.returncode != 0:
+                raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
+        for nfp, gate in ((10, 1e-5), (10, 1e-5)):  # one retry, flaky tunnel
+            proc = subprocess.run([sys.executable, __file__, "--pilot-single",
+                                   tx_path, str(nfp), repr(gate)],
+                                  capture_output=True, text=True, timeout=1800)
+            line = ""
+            for l in proc.stdout.strip().splitlines():
+                if l.startswith("{"):
+                    line = l
+            if proc.returncode == 0 and line:
+                blind.update(json.loads(line))
+                break
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            sys.stderr.flush()
+    except Exception as e:
+        sys.stderr.write("pilot bench skipped: %s\n" % e)
+    print(json.dumps(blind))
+    return 0
 
 
 if __name__ == "__main__":
     if "--single" in sys.argv:
         main()
+    elif "--pilot-maketx" in sys.argv:
+        pilot_maketx(sys.argv[sys.argv.index("--pilot-maketx") + 1])
+    elif "--pilot-single" in sys.argv:
+        i0 = sys.argv.index("--pilot-single")
+        pilot_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),
+                   float(sys.argv[i0 + 3]))
     else:
         sys.exit(_supervise())

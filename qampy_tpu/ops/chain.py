@@ -34,15 +34,17 @@ __all__ = ["make_rx_chain", "pallas_eligibility"]
 def pallas_eligibility(grid, methods, block_size=None, bps_tile=None):
     """Why (not) the fused Pallas kernels: returns (ok, reasons tuple).
 
-    The rules mirror the kernel preconditions: square-grid constellation
-    (ops/phase_pallas distance decision), methods implemented by the fused
-    block trainer, and — where the caller enforces them statically —
-    lane-tile-aligned block/tile sizes (128 lanes on compiled TPU).
+    The rules mirror the kernel preconditions: an analytic-decision grid
+    (square/cross/rectangular QAM — ops/phase.detect_grid), methods
+    implemented by the fused block trainer, and — where the caller enforces
+    them statically — lane-tile-aligned block/tile sizes (128 lanes on
+    compiled TPU).
     """
     from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
+    from qampy_tpu.ops.phase import grid_decision_info
     reasons = []
-    if grid is None:
-        reasons.append("constellation is not a uniform square grid")
+    if grid_decision_info(grid)[0] not in ("sq", "x", "r"):
+        reasons.append("constellation is not a uniform square/cross/rect grid")
     bad = [m for m in methods if m not in PALLAS_BLOCK_METHODS]
     if bad:
         reasons.append("method(s) %s not implemented by the fused block "
@@ -103,7 +105,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
     symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
     const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
-    grid = phops.detect_square_grid(const)
+    grid = phops.detect_grid(const)
     angles_h = np.linspace(-np.pi / 4, np.pi / 4, bps_angles, endpoint=False,
                            dtype=np.float32)
     step_a, lo_a = float(np.pi / 2 / bps_angles), float(-np.pi / 4)

@@ -397,21 +397,35 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
     rdtype = E.real.dtype
     mu0 = jnp.full((nout,), mu, dtype=rdtype)
 
+    # pre-gather ALL training windows once as Xw[t*nmodes+m, s] =
+    # E[m, s*os + t]: os strided phase slices + ntaps CONTIGUOUS tap slices
+    # (a per-step fancy-index gather costs ~50us on TPU — it dominated the
+    # whole training at ~60us/step; the one-time pre-gather is ~0.05 ms)
+    Ts = nblocks * S
+    Wlen = Ts * os + ntaps
+    # callers guarantee L >= Ts*os + ntaps - 1 (the last window's reach);
+    # the phase-plane construction wants one spare sample, never read back
+    Epad = jnp.pad(E, ((0, 0), (0, max(0, Wlen - E.shape[-1]))))
+    pre = lax.slice(Epad, (0, 0), (nmodes, Wlen))
+    phs = [lax.slice(pre, (0, p), (nmodes, Wlen - ((Wlen - p) % os)), (1, os))
+           for p in range(os)]
+    cols = [lax.slice(phs[t % os], (0, t // os), (nmodes, t // os + Ts))
+            for t in range(ntaps)]
+    Xw = jnp.concatenate(cols, axis=0)  # (ntaps*nmodes, Ts), tap-major rows
+
     def step(carry, b):
-        w, mu_c, err_p = carry  # w: (nout, nmodes, ntaps), mu_c: (nout,)
+        w, mu_c, err_p = carry  # w: (nout, ntaps, nmodes) tap-major, mu_c: (nout,)
         blk = jnp.mod(b, nblocks)
-        base = blk * S * os
-        Eb = lax.dynamic_slice(E, (0, base), (nmodes, S * os + ntaps - 1))
-        Xb = _gather_windows(Eb, S, os, ntaps)  # (S, nmodes, ntaps)
-        Xf = Xb.reshape(S, nmodes * ntaps)
-        Wf = w.reshape(nout, nmodes * ntaps)
-        Xest = jnp.matmul(Xf, Wf.T, precision=lax.Precision.HIGHEST).T  # (nout, S)
+        Xf = lax.dynamic_slice(Xw, (0, blk * S),
+                               (ntaps * nmodes, S))  # (K, S) contiguous
+        Wf = w.reshape(nout, ntaps * nmodes)
+        Xest = jnp.matmul(Wf, Xf, precision=lax.Precision.HIGHEST)  # (nout, S)
         tr0 = blk * S
         idxs = tr0 + jnp.arange(S)
         err = jax.vmap(lambda xrow, srow: errfn(xrow, srow, idxs))(Xest, symbols)  # (nout, S)
-        dW = jnp.matmul(err * mu_c[:, None].astype(err.dtype), conj(Xf),
-                        precision=lax.Precision.HIGHEST)  # (nout, nmodes*ntaps)
-        w = w + dW.reshape(nout, nmodes, ntaps)
+        dW = jnp.matmul(err * mu_c[:, None].astype(err.dtype), conj(Xf).T,
+                        precision=lax.Precision.HIGHEST)  # (nout, ntaps*nmodes)
+        w = w + dW.reshape(nout, ntaps, nmodes)
         if adaptive:
             eall = jnp.concatenate([err_p[:, None], err], axis=1)
             # the reference shrink uses the PREVIOUS error's magnitude
@@ -433,10 +447,11 @@ def train_equaliser_block(E, TrSyms, Niter, os, mu, wx, symbols, method,
 
     steps = jnp.arange(Niter * nblocks)
     err_p0 = jnp.zeros((nout,), dtype=E.dtype)
-    carry0 = (_vary_like(wx, E), _vary_like(mu0, E), _vary_like(err_p0, E))
+    w0 = jnp.moveaxis(wx, -1, 1)  # (nout, ntaps, nmodes) to match Xw rows
+    carry0 = (_vary_like(w0, E), _vary_like(mu0, E), _vary_like(err_p0, E))
     (w, mu_f, _), errs = lax.scan(step, carry0, steps, unroll=4)
     errs = jnp.moveaxis(errs, 0, 1).reshape(nout, -1)
-    return errs, w, mu_f
+    return errs, jnp.moveaxis(w, 1, -1), mu_f
 
 
 # ---------------------------------------------------------------------------

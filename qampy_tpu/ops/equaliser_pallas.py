@@ -190,23 +190,65 @@ _DECISION_METHODS = ("sbd", "mddma", "dd")
 
 
 def _make_block_err_decision(method, grid):
-    d0, lo, n = grid
-    nm1 = float(n - 1)
+    """Error fn for the decision-directed methods on an analytic grid.
 
-    def dec(z):
-        return lo + d0 * jnp.clip(jnp.floor((z - lo) / d0 + 0.5), 0.0, nm1)
+    ``grid`` is an ops/phase.detect_grid spec: square and rectangular grids
+    decide each axis independently; cross-QAM decides jointly as the closer
+    of the two rectangle clamps (exact — the cross is a union of two
+    axis-aligned rectangles).
+    """
+    from qampy_tpu.ops.phase import grid_decision_info
+    kind, p = grid_decision_info(grid)
+    if kind == "sq":
+        d0, lo, n = p
+        nm1 = float(n - 1)
+
+        def dec(zr, zi):
+            dr = lo + d0 * jnp.clip(jnp.floor((zr - lo) / d0 + 0.5), 0.0, nm1)
+            di = lo + d0 * jnp.clip(jnp.floor((zi - lo) / d0 + 0.5), 0.0, nm1)
+            return dr, di
+    elif kind == "r":
+        d0, lor, nr, loi, ni = p
+        rm1, im1 = float(nr - 1), float(ni - 1)
+
+        def dec(zr, zi):
+            dr = lor + d0 * jnp.clip(jnp.floor((zr - lor) / d0 + 0.5), 0.0, rm1)
+            di = loi + d0 * jnp.clip(jnp.floor((zi - loi) / d0 + 0.5), 0.0, im1)
+            return dr, di
+    elif kind == "x":
+        d0, lo, n, c = p
+        nm1 = float(n - 1)
+        cc, ccm = float(c), float(n - 1 - c)
+
+        def dec(zr, zi):
+            x = (zr - lo) / d0
+            y = (zi - lo) / d0
+            rx = jnp.floor(x + 0.5)
+            ry = jnp.floor(y + 0.5)
+            iA = jnp.clip(rx, 0.0, nm1)
+            jA = jnp.clip(ry, cc, ccm)
+            iB = jnp.clip(rx, cc, ccm)
+            jB = jnp.clip(ry, 0.0, nm1)
+            useA = ((x - iA) ** 2 + (y - jA) ** 2
+                    <= (x - iB) ** 2 + (y - jB) ** 2)
+            dr = lo + d0 * jnp.where(useA, iA, iB)
+            di = lo + d0 * jnp.where(useA, jA, jB)
+            return dr, di
+    else:
+        raise ValueError("no analytic decision for grid kind %r" % kind)
 
     if method == "sbd":
         def fn(zr, zi, sr, si, ncode, m):
-            dr, di = dec(zr), dec(zi)
+            dr, di = dec(zr, zi)
             return (dr - zr) * jnp.abs(dr), (di - zi) * jnp.abs(di)
     elif method == "mddma":
         def fn(zr, zi, sr, si, ncode, m):
-            dr, di = dec(zr), dec(zi)
+            dr, di = dec(zr, zi)
             return (dr * dr - zr * zr) * zr, (di * di - zi * zi) * zi
     else:  # dd
         def fn(zr, zi, sr, si, ncode, m):
-            return dec(zr) - zr, dec(zi) - zi
+            dr, di = dec(zr, zi)
+            return dr - zr, di - zi
     return fn
 
 
@@ -231,10 +273,11 @@ def train_equaliser_block_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
     grid = None
     if method in _DECISION_METHODS:
         # host-side inspection: must happen outside the jitted impl
-        from qampy_tpu.ops.phase import detect_square_grid
-        grid = detect_square_grid(np.asarray(symbols)[0])
-        assert grid is not None, \
-            "pallas block trainer needs a square-grid constellation for %s" % method
+        from qampy_tpu.ops.phase import detect_grid, grid_decision_info
+        grid = detect_grid(np.asarray(symbols)[0])
+        assert grid_decision_info(grid)[0] in ("sq", "x", "r"), \
+            "pallas block trainer needs a square/cross/rect-grid " \
+            "constellation for %s" % method
     return _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols,
                                     method, adaptive, real_valued, block_size,
                                     interpret, grid)

@@ -52,21 +52,123 @@ def detect_square_grid(symbols):
     return (float(d[0]), float(re[0]), int(re.size))
 
 
+def _uniform_levels(vals):
+    """(levels, spacing) when ``vals`` are uniformly spaced, else None."""
+    if vals.size < 2:
+        return None
+    d = np.diff(vals)
+    if not np.allclose(d, d[0], rtol=1e-3):
+        return None
+    return vals, float(d[0])
+
+
+def detect_grid(symbols):
+    """Classify a constellation for the analytic nearest-point decision.
+
+    Host-side inspection (returns None on traced values). Returns a hashable
+    grid spec consumed by the XLA and Pallas distance kernels:
+
+    * ``(d, lo, n)`` — full square grid (square QAM); bare 3-tuple for
+      backwards compatibility with ``detect_square_grid``.
+    * ``("x", d, lo, n, c)`` — cross QAM: the n x n grid minus c x c
+      corners (reference theory.py:161 cal_symbols_cross_qam; 32-QAM:
+      n=6,c=1; 128: n=12,c=2; 512: n=24,c=4). The nearest point on the
+      cross (a union of two rectangles) is the closer of the two per-axis
+      clamped decisions — exact, O(1) per sample.
+    * ``("r", d, lor, nr, loi, ni)`` — full rectangular grid (8/2048-QAM
+      style), independent level counts per axis.
+    * ``("gen", sr, si)`` — none of the above: the raw points as float
+      tuples for the O(M) unrolled search (PS-shaped / arbitrary alphabets).
+    """
+    sq = detect_square_grid(symbols)
+    if sq is not None:
+        return sq
+    try:
+        s = np.asarray(symbols)
+    except Exception:
+        return None
+    if s.ndim != 1 or s.size < 2:
+        return None
+    gen = ("gen", tuple(float(x) for x in s.real),
+           tuple(float(x) for x in s.imag))
+    re = _uniform_levels(np.unique(np.round(s.real, 6)))
+    im = _uniform_levels(np.unique(np.round(s.imag, 6)))
+    if re is None or im is None or abs(re[1] - im[1]) > 1e-3 * abs(re[1]):
+        return gen
+    (rl, d), (il, _) = re, im
+    nr, ni = rl.size, il.size
+    if nr * ni == s.size:
+        # full rectangular product grid
+        pts = {(round(float(z.real - rl[0]) / d), round(float(z.imag - il[0]) / d))
+               for z in s}
+        if len(pts) == s.size:
+            return ("r", d, float(rl[0]), int(nr), float(il[0]), int(ni))
+        return gen
+    if nr == ni and np.allclose(rl, il, rtol=1e-3):
+        n = nr
+        pts = {(round(float(z.real - rl[0]) / d), round(float(z.imag - rl[0]) / d))
+               for z in s}
+        for c in range(1, n // 2):
+            if s.size != n * n - 4 * c * c:
+                continue
+            corner = {(i, j) for i in range(n) for j in range(n)
+                      if (i < c or i >= n - c) and (j < c or j >= n - c)}
+            full = {(i, j) for i in range(n) for j in range(n)} - corner
+            if pts == full:
+                return ("x", d, float(rl[0]), int(n), int(c))
+    return gen
+
+
+def grid_decision_info(grid):
+    """(kind, params) for a grid spec; kind in {sq, x, r, gen, none}."""
+    if grid is None:
+        return "none", None
+    if isinstance(grid[0], str):
+        return grid[0], grid[1:]
+    return "sq", grid
+
+
 def _min_dist_sq(EE, symbols, grid):
     """min_s |EE - s|^2 elementwise over the last-axis-free EE array.
 
-    With a square-grid constellation the nearest point is found analytically
-    by per-axis rounding (O(1) per element, pure VPU); otherwise the expanded
-    square |z|^2 - 2 Re(z conj(s)) + |s|^2 is evaluated with the cross term
-    as a real matmul on the MXU.
+    With a square/cross/rectangular-grid constellation the nearest point is
+    found analytically by per-axis rounding and clamping (O(1) per element,
+    pure VPU — the cross decision is the closer of the two rectangle clamps,
+    exact because the cross is a union of two axis-aligned rectangles);
+    otherwise the expanded square |z|^2 - 2 Re(z conj(s)) + |s|^2 is
+    evaluated with the cross term as a real matmul on the MXU.
     """
-    if grid is not None:
-        d, lo, n = grid
+    kind, p = grid_decision_info(grid)
+    if kind == "sq":
+        d, lo, n = p
         zr = EE.real
         zi = EE.imag
         qr = lo + d * jnp.clip(jnp.round((zr - lo) / d), 0, n - 1)
         qi = lo + d * jnp.clip(jnp.round((zi - lo) / d), 0, n - 1)
         return (zr - qr) ** 2 + (zi - qi) ** 2
+    if kind == "r":
+        d, lor, nr, loi, ni = p
+        zr = EE.real
+        zi = EE.imag
+        qr = lor + d * jnp.clip(jnp.round((zr - lor) / d), 0, nr - 1)
+        qi = loi + d * jnp.clip(jnp.round((zi - loi) / d), 0, ni - 1)
+        return (zr - qr) ** 2 + (zi - qi) ** 2
+    if kind == "x":
+        d, lo, n, c = p
+        zr = EE.real
+        zi = EE.imag
+        x = (zr - lo) / d
+        y = (zi - lo) / d
+        rx = jnp.round(x)
+        ry = jnp.round(y)
+        # rect A: x free in [0, n-1], y in [c, n-1-c]; rect B transposed
+        ax = jnp.clip(rx, 0, n - 1)
+        ay = jnp.clip(ry, c, n - 1 - c)
+        bx = jnp.clip(rx, c, n - 1 - c)
+        by = jnp.clip(ry, 0, n - 1)
+        dA = (x - ax) ** 2 + (y - ay) ** 2
+        dB = (x - bx) ** 2 + (y - by) ** 2
+        return d * d * jnp.minimum(dA, dB)
     zs = jnp.stack([EE.real, EE.imag], axis=-1)  # (..., 2)
     S = jnp.stack([symbols.real, symbols.imag], axis=0).astype(zs.dtype)  # (2, M)
     cross = jnp.matmul(zs, S, precision=lax.Precision.HIGHEST)  # (..., M)
@@ -140,8 +242,10 @@ def select_angles(angles, idx):
 def _use_pallas_bps(grid, method):
     """Pick the fused Pallas BPS kernel when eligible.
 
-    method=None ("auto") selects pallas on TPU for square-grid
-    constellations; method="pallas"/"pyt" forces/forbids it explicitly
+    method=None ("auto") selects pallas on TPU for any host-inspectable
+    constellation (square/cross/rect grids take the analytic decision;
+    arbitrary alphabets the unrolled O(M) search, worthwhile up to
+    moderate M); method="pallas"/"pyt" forces/forbids it explicitly
     ("pyt" is the reference's name for its default backend, mapped to the
     XLA path here).
     """
@@ -149,7 +253,12 @@ def _use_pallas_bps(grid, method):
         return True
     if method is not None:
         return False
-    return grid is not None and jax.default_backend() not in ("cpu",)
+    if grid is None or jax.default_backend() in ("cpu",):
+        return False
+    kind, p = grid_decision_info(grid)
+    # the unrolled general kernel is ~3 VPU ops per constellation point;
+    # beyond 256 points the XLA MXU matmul formulation wins
+    return kind != "gen" or len(p[0]) <= 256
 
 
 def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
@@ -166,7 +275,7 @@ def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
     angles = jnp.linspace(-np.pi / 4, np.pi / 4, Mtestangles, endpoint=False,
                           dtype=rdtype).reshape(1, -1)
     Ew = jnp.atleast_2d(E)
-    grid = detect_square_grid(symbols)
+    grid = detect_grid(symbols)
     if _use_pallas_bps(grid, method):
         from qampy_tpu.ops.phase_pallas import bps_idx_pallas
         host_angles = np.linspace(-np.pi / 4, np.pi / 4, Mtestangles,
@@ -200,7 +309,7 @@ def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
                           dtype=rdtype).reshape(1, -1)
     Ew = jnp.atleast_2d(E)
 
-    grid = detect_square_grid(symbols)
+    grid = detect_grid(symbols)
     if _use_pallas_bps(grid, method):
         from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
         phf = bps_phase_twostage_pallas(Ew, Mtestangles, B, grid, N)

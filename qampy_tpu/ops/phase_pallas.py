@@ -85,10 +85,81 @@ def _windowed_sums(dist, N2, T, tail_ref, win_dtype=None):
     return win, tail_new
 
 
+def _make_dist_fn(grid_const):
+    """(dist_fn(xr, xi) -> squared distance, rotation-table scale).
+
+    ``xr/xi`` are the rotated sample coordinates pre-scaled by the returned
+    factor (folded into the host cos/sin tables: rotate+normalise is 4
+    FMAs). Grid kinds (ops/phase.detect_grid):
+
+    * square/rect: per-axis floor(x+0.5)+clip -- jnp.round's half-even
+      lowering costs ~25% of the whole kernel on TPU and the tie direction
+      never changes |x - round(x)|. Distances come out in units of d0^2,
+      which the argmin ignores.
+    * cross: the closer of the two rectangle clamps (the cross is a union
+      of two axis-aligned rectangles -- exact nearest point, ~1.6x the
+      square decision's ALU cost).
+    * general: static unroll over the M points of
+      max_k(2<z,s_k> - |s_k|^2); the per-sample |z|^2 term is rotation
+      invariant, hence constant across the angle axis, and is dropped --
+      the windowed argmin over angles is unchanged. ~3 VPU ops per point.
+    """
+    from qampy_tpu.ops.phase import grid_decision_info
+    kind, p = grid_decision_info(grid_const)
+    if kind == "sq":
+        d0, lo, n = p
+        nm1, c0 = float(n - 1), float(lo / d0)
+
+        def dist(xr, xi):
+            ur = xr - c0
+            ui = xi - c0
+            fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
+            fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
+            return fr * fr + fi * fi
+        return dist, 1.0 / d0
+    if kind == "r":
+        d0, lor, nr, loi, ni = p
+        rm1, im1 = float(nr - 1), float(ni - 1)
+        c0r, c0i = float(lor / d0), float(loi / d0)
+
+        def dist(xr, xi):
+            ur = xr - c0r
+            ui = xi - c0i
+            fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, rm1)
+            fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, im1)
+            return fr * fr + fi * fi
+        return dist, 1.0 / d0
+    if kind == "x":
+        d0, lo, n, c = p
+        nm1, c0 = float(n - 1), float(lo / d0)
+        cc, ccm = float(c), float(n - 1 - c)
+
+        def dist(xr, xi):
+            ur = xr - c0
+            ui = xi - c0
+            rx = jnp.floor(ur + 0.5)
+            ry = jnp.floor(ui + 0.5)
+            far = ur - jnp.clip(rx, 0.0, nm1)
+            fai = ui - jnp.clip(ry, cc, ccm)
+            fbr = ur - jnp.clip(rx, cc, ccm)
+            fbi = ui - jnp.clip(ry, 0.0, nm1)
+            return jnp.minimum(far * far + fai * fai, fbr * fbr + fbi * fbi)
+        return dist, 1.0 / d0
+    assert kind == "gen", "pallas BPS needs a host-inspectable constellation"
+    sr, si = p
+
+    def dist(xr, xi):
+        best = None
+        for k in range(len(sr)):
+            t = (xr * (2.0 * sr[k]) + xi * (2.0 * si[k])
+                 - (sr[k] ** 2 + si[k] ** 2))
+            best = t if best is None else jnp.maximum(best, t)
+        return -best
+    return dist, 1.0
+
+
 def _bps_kernel(T, N2, grid_const, win_dtype=None, compute_dtype=None):
-    d0, lo, n = grid_const
-    nm1 = float(n - 1)
-    c0 = float(lo / d0)  # grid offset in level units
+    dist_fn, _ = _make_dist_fn(grid_const)
     assert N2 <= 128, "window lookback must fit one lane tile"
     assert T >= 128, "tile must be at least one lane tile (tail rebuild)"
 
@@ -103,27 +174,21 @@ def _bps_kernel(T, N2, grid_const, win_dtype=None, compute_dtype=None):
         ei = ei_ref[0, 0]
         if compute_dtype is not None:
             # full reduced-precision distance path: the rotation and the
-            # nearest-level decision carry ~0.4% quantisation — an extra
+            # nearest-level decision carry ~0.4% quantisation -- an extra
             # -48 dB "noise" floor on the phase estimate, far below any
             # operating channel noise; argmin still runs f32
             er = er.astype(compute_dtype)
             ei = ei.astype(compute_dtype)
-        # rotation and 1/d0 grid normalisation folded into the angle table
-        # (cos_ref/sin_ref arrive pre-scaled by 1/d0): rotate+normalise is
-        # 4 FMAs; distances come out in units of d0^2, which argmin ignores
+        # rotation and grid normalisation folded into the angle table
+        # (cos_ref/sin_ref arrive pre-scaled, see _make_dist_fn)
         ca = cos_ref[:]  # (A, 1)
         sa = sin_ref[:]
         if compute_dtype is not None:
             ca = ca.astype(compute_dtype)
             sa = sa.astype(compute_dtype)
-        ur = er * ca - (ei * sa + c0)  # (A, T) level coords
-        ui = er * sa + (ei * ca - c0)
-        # nearest-level decision: floor(x+0.5) instead of jnp.round — the
-        # round-half-even lowering costs ~25% of the whole kernel on TPU and
-        # the tie direction never changes |x - round(x)|
-        fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
-        fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
-        dist = fr * fr + fi * fi  # (A, T)
+        xr = er * ca - ei * sa  # (A, T) scaled rotated coords
+        xi = er * sa + ei * ca
+        dist = dist_fn(xr, xi)  # (A, T)
         win, tail_new = _windowed_sums(dist, N2, T, tail_ref, win_dtype)
         if win.dtype != jnp.float32:
             win = win.astype(jnp.float32)  # pallas argmin is f32-only
@@ -139,7 +204,9 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
 
     E: (nmodes, L) complex; testangles: (A,) shared angle grid, HOST-side
     (numpy) — the rotation table is precomputed on host;
-    grid: (delta, lo, n) from ops.phase.detect_square_grid (required).
+    grid: a grid spec from ops.phase.detect_grid (required) -- square
+    (delta, lo, n), cross ("x", ...), rect ("r", ...) take the analytic
+    decision; ("gen", sr, si) unrolls the O(M) point search.
     Returns int32 (nmodes, L) with the same semantics as ops.phase.bps_idx
     (positions [N, L-N) filled, others 0). Jit-compatible in E (trace this
     inside an outer jit); testangles/grid/N/T are trace-time constants.
@@ -157,7 +224,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     nmodes, L = E.shape
     A = int(np.asarray(testangles).size)
     N2 = 2 * N
-    assert grid is not None, "pallas BPS needs a square-grid constellation"
+    assert grid is not None, "pallas BPS needs a host-inspectable constellation"
     assert N2 < T, "window must fit in one tile"
     assert T % 128 == 0, "tile must be a whole number of 128-lane tiles"
     pad = (-L) % T
@@ -168,9 +235,10 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
     ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
     ang = np.asarray(testangles, dtype=np.float64).reshape(A, 1)
-    # fold the 1/d0 grid normalisation into the rotation table (see kernel)
-    cos_a = jnp.asarray((np.cos(ang) / grid[0]).astype(np.float32))
-    sin_a = jnp.asarray((np.sin(ang) / grid[0]).astype(np.float32))
+    # fold the grid normalisation into the rotation table (see _make_dist_fn)
+    scale = _make_dist_fn(grid)[1]
+    cos_a = jnp.asarray((np.cos(ang) * scale).astype(np.float32))
+    sin_a = jnp.asarray((np.sin(ang) * scale).astype(np.float32))
 
     kernel = _bps_kernel(T, N2, grid, win_dtype, compute_dtype)
     raw = pl.pallas_call(
@@ -339,9 +407,7 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
     7/8 of the sublanes. The static cos/sin(delta_b) carry the 1/d0 grid
     normalisation.
     """
-    d0, lo, n = grid_const
-    nm1 = float(n - 1)
-    c0 = float(lo / d0)
+    dist_fn, _ = _make_dist_fn(grid_const)
 
     def kernel(er_ref, ei_ref, c1_ref, s1_ref, cd_ref, sd_ref, out_ref, tail_ref):
         c = pl.program_id(1)
@@ -356,13 +422,11 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
         s1 = s1_ref[0, 0]
         cdv = cd_ref[:]  # (B, 1)
         sdv = sd_ref[:]
-        ca = c1 * cdv - s1 * sdv  # cos(ph+delta)/d0, (B, T)
+        ca = c1 * cdv - s1 * sdv  # scaled cos(ph+delta), (B, T)
         sa = s1 * cdv + c1 * sdv
-        ur = er * ca - (ei * sa + c0)
-        ui = er * sa + (ei * ca - c0)
-        fr = ur - jnp.clip(jnp.floor(ur + 0.5), 0.0, nm1)
-        fi = ui - jnp.clip(jnp.floor(ui + 0.5), 0.0, nm1)
-        dist = fr * fr + fi * fi  # (B, T)
+        xr = er * ca - ei * sa
+        xi = er * sa + ei * ca
+        dist = dist_fn(xr, xi)  # (B, T)
         win, tail_new = _windowed_sums(dist, N2, T, tail_ref, win_dtype)
         if win.dtype != jnp.float32:
             win = win.astype(jnp.float32)  # pallas argmin is f32-only
@@ -387,7 +451,7 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     E = jnp.asarray(E)
     nmodes, L = E.shape
     N2 = 2 * N
-    assert grid is not None, "pallas BPS needs a square-grid constellation"
+    assert grid is not None, "pallas BPS needs a host-inspectable constellation"
     assert N2 < T, "window must fit in one tile"
     coarse = np.linspace(-np.pi / 4, np.pi / 4, Mtestangles, endpoint=False,
                          dtype=np.float32)
@@ -417,11 +481,12 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
     E = jnp.asarray(E)
     nmodes, L = E.shape
     N2 = 2 * N
-    assert grid is not None, "pallas BPS needs a square-grid constellation"
+    assert grid is not None, "pallas BPS needs a host-inspectable constellation"
     assert N2 < T, "window must fit in one tile"
     # fine offsets: b/(B*Mtestangles)*pi/2 for b = linspace(-B/2, B/2, B)
     bvals = np.linspace(-B / 2, B / 2, B)
     deltas = bvals / (B * Mtestangles) * np.pi / 2
+    scale = _make_dist_fn(grid)[1]
 
     pad = (-L) % T
     Lp = L + pad
@@ -452,8 +517,8 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
         ],
         interpret=interpret,
     )(er, ei, c1, s1,
-      jnp.asarray((np.cos(deltas) / grid[0]).astype(np.float32).reshape(B, 1)),
-      jnp.asarray((np.sin(deltas) / grid[0]).astype(np.float32).reshape(B, 1)))
+      jnp.asarray((np.cos(deltas) * scale).astype(np.float32).reshape(B, 1)),
+      jnp.asarray((np.sin(deltas) * scale).astype(np.float32).reshape(B, 1)))
     raw = raw.reshape(nmodes, Lp)[:, :L]
     idx2 = jnp.zeros((nmodes, L), dtype=jnp.int32)
     idx2 = idx2.at[:, N: L - N].set(raw[:, N2:])

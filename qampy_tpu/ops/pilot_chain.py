@@ -55,8 +55,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         sync_Ntaps=17, sync_mu=1e-3, sync_Niter=10,
                         Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                         methods=("cma", "cma"), foe_comp=False,
-                        cpe_avg=3, cpe_pilot_rat=1, frame=0,
-                        block_size=128, pallas=None):
+                        cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
+                        block_size=128, pallas=None, _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
     Parameters mirror the granular chain: ``pilot_seq`` (nmodes,
@@ -67,12 +67,17 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     ``sync_*`` the frame-search training (reference frame_sync defaults,
     signals.py sync2frame); ``Ntaps``/``mu``/``Niter``/``methods`` the
     two-stage pilot equaliser (reference equalize_pilot_sequence);
-    ``cpe_avg``/``cpe_pilot_rat`` the pilot CPE; ``frame`` which frame of
-    the capture to demodulate. ``E`` is the complex (nmodes, L) capture at
-    ``os`` samples/symbol with L >= (frame_len + 2*pilot_seq_len)*os.
+    ``cpe_avg``/``cpe_pilot_rat`` the pilot CPE; ``frames`` which frames of
+    the capture to demodulate (sync + tap training run ONCE and the trained
+    taps demodulate every requested frame — the steady-state serving
+    pattern of reference ``pilot_equaliser_nframes``,
+    qampy/equalisation.py:340-397). ``E`` is the complex (nmodes, L)
+    capture at ``os`` samples/symbol with
+    L >= (max(frames)+1)*frame_len*os + shift headroom.
 
-    Returns ``(data, info)`` where ``data`` is the (nmodes, n_data)
-    demodulated payload symbol sequence (pilots removed) and ``info`` is a
+    Returns ``(data, info)`` where ``data`` is the (nmodes,
+    len(frames)*n_data) demodulated payload symbol sequence (pilots
+    removed, frames concatenated) and ``info`` is a
     dict of real-valued diagnostics: ``shift`` (per-mode frame offsets in
     samples), ``sync_corr`` (the weakest pilot autocorrelation peak — frame
     sync is unreliable below ops.pilots.FRAME_SYNC_THRS), ``foe`` (per-mode
@@ -105,7 +110,6 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     num_steps = frame_len * os // step + 1
     starts = np.arange(2, num_steps) * step          # candidate window starts
     W = starts.shape[0]
-    win_idx = (starts[:, None] + np.arange(sw)[None, :]).reshape(-1)
     TrS_sync = eqops._cal_training_symbol_len(os, sync_Ntaps, sw)
     sym_sync = eqops._reshape_symbols(None, "cma", M_pilot, dtype, nmodes)
     w0_sync = eqops._init_taps(sync_Ntaps, nmodes, nmodes, dtype)
@@ -135,7 +139,14 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     if cpe_avg % 2 == 0:
         cpe_avg += 1
     i_adj = (cpe_avg - 1) // 2
-    idx_avg = ph_idx[i_adj:-i_adj].astype(np.float32)
+    idx_avg = ph_idx[i_adj:-i_adj]
+    # the phase pilots are UNIFORMLY spaced (seq_len + k*ins_rat, layout
+    # spec _cal_pilot_idx): linear interpolation over a uniform grid is a
+    # pure broadcast+reshape upsample — no searchsorted, no gathers
+    # (jnp.interp's binary-search gathers cost ~2 ms per frame on TPU)
+    cpe_dx = int(pilot_ins_rat) * int(cpe_pilot_rat)
+    assert np.all(np.diff(idx_avg) == cpe_dx), "non-uniform pilot spacing"
+    cpe_x0 = int(idx_avg[0])
     dat_idx = np.nonzero(idx_dat)[0]
 
     # the fused chain's Pallas use is the frame filter (always eligible for
@@ -160,8 +171,12 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         fdt = E.real.dtype
 
         # ---- 1. frame sync: batched window search ----------------------
-        win = jnp.take(E, jnp.asarray(win_idx), axis=-1)
-        win = win.reshape(nmodes, W, sw).swapaxes(0, 1)      # (W, nmodes, sw)
+        # windows start at multiples of step and span 2 steps: two shifted
+        # (W, step) reshapes instead of a W*sw fancy-index gather
+        blk = lax.slice(E, (0, 2 * step), (nmodes, (W + 3) * step))
+        blk = blk.reshape(nmodes, W + 1, step)
+        win = jnp.concatenate([blk[:, :W], blk[:, 1:W + 1]], axis=-1)
+        win = win.swapaxes(0, 1)                             # (W, nmodes, sw)
         w0s = jnp.asarray(w0_sync)
 
         def train_window(w_seg):
@@ -172,6 +187,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             return wx, jnp.mean(jnp.abs(err - em) ** 2, axis=-1)
 
         wxs, evars = jax.vmap(train_window)(win)             # (W,n,n,t), (W,n)
+        if _stage == "sync_train":
+            return jnp.sum(jnp.abs(wxs)) + jnp.sum(evars), {}
         best_w = jnp.argmin(evars, axis=0)                   # (nmodes,)
         starts_d = jnp.asarray(starts)
 
@@ -227,87 +244,118 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         shift = jnp.stack(shifts).astype(jnp.int32)
         sync_corr = jnp.min(jnp.stack(peak_acs))
 
+        if _stage == "sync":
+            return (sync_corr + jnp.sum(shift).astype(fdt)), {}
         # reference sync2frame (signals.py:1709-1744): reorder modes, wrap
         # negative shifts by one frame
         E2 = E[mode_order]
         shift = shift[mode_order]
         shift = jnp.where(shift < 0, shift + frame_len * os, shift)
 
-        # ---- 2. pilot equalisation (two-stage, per mode) ----------------
+        # ---- 2. pilot equalisation (two-stage, vmapped over modes) ------
         eqsh = shift - tap_corr
         eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
         ref_seq = jnp.asarray(pilot_seq)
-        # stage 1: blind warm-up on the pilot alphabet per mode
-        # (reference :506-520), plus the pilot FOE estimate (:32-73)
-        segs, warm, foe_rows = [], [], []
-        for i in range(nmodes):
-            seg = lax.dynamic_slice(E2, (0, eqsh[i]), (nmodes, seg_len))
-            segs.append(seg)
-            w_i = jnp.asarray(w0_eq[i:i + 1])
-            _, w1 = _train(seg, TrS_eq, Niter, mu[0], w_i,
-                           jnp.asarray(sym_st1), methods[0])
-            warm.append(w1)
-            if foe_comp:
-                sy = eqops.apply_filter_to_signal(seg, os, w1)[0]
-                # pilot FOE: phase slope of conj(ref)*rx (reference :32-73)
-                pe = jnp.unwrap(jnp.angle(jnp.conj(ref_seq[i]) * sy[:seq_len]))
-                x = jnp.arange(seq_len, dtype=fdt)
-                xm = x - x.mean()
-                foe_rows.append(jnp.sum(xm * (pe - pe.mean())) /
-                                jnp.sum(xm * xm) / (2 * np.pi))
+        segs = jnp.stack([lax.dynamic_slice(E2, (0, eqsh[i]),
+                                            (nmodes, seg_len))
+                          for i in range(nmodes)])    # (n, n, seg_len)
+        # stage 1: blind warm-up on the pilot alphabet, all modes in one
+        # vmapped training (reference :506-520 trains them sequentially)
+        w0r = jnp.asarray(w0_eq)[:, None]             # (n, 1, n, Ntaps)
+        sym1 = jnp.broadcast_to(jnp.asarray(sym_st1)[None],
+                                (nmodes,) + sym_st1.shape)
+
+        def t_st1(seg, w, s):
+            return _train(seg, TrS_eq, Niter, mu[0], w, s, methods[0])[1]
+
+        warm = jax.vmap(t_st1)(segs, w0r, sym1)       # (n, 1, n, Ntaps)
         if foe_comp:
-            foe_pil = jnp.mean(jnp.stack(foe_rows))
+            # pilot FOE: phase slope of conj(ref)*rx (reference :32-73)
+            sy = jax.vmap(lambda seg, w:
+                          eqops.apply_filter_to_signal(seg, os, w)[0]
+                          )(segs, warm)               # (n, Lseq')
+            pe = jnp.unwrap(jnp.angle(jnp.conj(ref_seq) * sy[:, :seq_len]),
+                            axis=-1)
+            x = jnp.arange(seq_len, dtype=fdt)
+            xm = x - x.mean()
+            slopes = (jnp.sum(xm * (pe - pe.mean(axis=-1, keepdims=True)),
+                              axis=-1) / jnp.sum(xm * xm)) / (2 * np.pi)
+            foe_pil = jnp.mean(slopes)
+            ts = jnp.arange(1, seg_len + 1, dtype=fdt)
+            segs = segs * jnp.exp(-1j * (2 * np.pi * foe_pil / os)
+                                  * ts).astype(segs.dtype)
         else:
             foe_pil = jnp.zeros((), fdt)
-        # stages 2+3 (reference :530-554): FOE-correct the pilot segment,
-        # then retrain from the warm taps
-        rows = []
-        for i in range(nmodes):
-            seg = segs[i]
-            if foe_comp:
-                ts = jnp.arange(1, seg_len + 1, dtype=fdt)
-                seg = seg * jnp.exp(-1j * (2 * np.pi * foe_pil / os)
-                                    * ts).astype(seg.dtype)
-            s2 = (ref_seq[i:i + 1] if da[0] else
-                  jnp.asarray(eqops._reshape_symbols(None, methods[0],
-                                                     M_pilot, dtype, 1)))
-            s3 = (ref_seq[i:i + 1] if da[1] else
-                  jnp.asarray(eqops._reshape_symbols(None, methods[1],
-                                                     M_pilot, dtype, 1)))
-            w2 = warm[i]
-            for (mu_k, s_k, m_k) in ((mu[0], s2, methods[0]),
-                                     (mu[1], s3, methods[1])):
-                _, w2 = _train(seg, TrS_eq, Niter, mu_k, w2, s_k, m_k)
-            rows.append(w2[0])
-        taps = jnp.stack(rows)                                # (n, n, Ntaps)
+        # stages 2+3 (reference :530-554): retrain from the warm taps
+        w_k = warm
+        for k, (mu_k, m_k) in enumerate(((mu[0], methods[0]),
+                                         (mu[1], methods[1]))):
+            if da[k]:
+                s_k = ref_seq[:, None, :]
+            else:
+                sk = eqops._reshape_symbols(None, m_k, M_pilot, dtype, 1)
+                s_k = jnp.broadcast_to(jnp.asarray(sk)[None],
+                                       (nmodes,) + sk.shape)
 
-        # ---- 3. filter the frame at the traced shift --------------------
+            def t_k(seg, w, s, _mu=mu_k, _m=m_k):
+                return _train(seg, TrS_eq, Niter, _mu, w, s, _m)[1]
+
+            w_k = jax.vmap(t_k)(segs, w_k, s_k)
+        taps = w_k[:, 0]                              # (n, n, Ntaps)
+        if _stage == "eq":
+            return jnp.sum(jnp.abs(taps)), {}
+
+        # ---- 3+4. filter + pilot CPE per requested frame -----------------
         fr_len = frame_len * os + Ntaps - 1
-        base = frame * frame_len * os
         if foe_comp:
             t = jnp.arange(1, E2.shape[-1] + 1, dtype=fdt)
             E2 = E2 * jnp.exp(-1j * (2 * np.pi * foe_pil / os) * t).astype(E2.dtype)
-        sym_rows = []
-        for i in range(nmodes):
-            seg = lax.dynamic_slice(E2, (0, eqsh[i] + base), (nmodes, fr_len))
-            sym_rows.append(eqops.apply_filter_to_signal(seg, os,
-                                                         taps[i:i + 1])[0])
-        sym = jnp.stack(sym_rows)                             # (nmodes, F)
+        pil_c = jnp.asarray(pil_cpe)
+        ph_idx_d = jnp.asarray(ph_idx)
+        dat_idx_d = jnp.asarray(dat_idx)
+        wgt = (jnp.arange(cpe_dx, dtype=jnp.float32) / cpe_dx)[None, None, :]
 
-        # ---- 4. pilot CPE (reference :258-327) ---------------------------
-        rec_pil = sym[:, jnp.asarray(ph_idx)]
-        res_ph = jnp.unwrap(jnp.angle(jnp.conj(jnp.asarray(pil_cpe))
-                                      * rec_pil), axis=-1)
-        z = jnp.zeros((nmodes, 1), res_ph.dtype)
-        cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
-        ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
-        xq = jnp.arange(frame_len, dtype=jnp.float32)
-        trace = jax.vmap(lambda p: jnp.interp(xq, jnp.asarray(idx_avg), p))(ph_avg)
-        out = sym * jnp.exp(-1j * trace).astype(sym.dtype)
+        def interp_uniform(ph_avg):
+            """Linear interp over the uniform pilot grid, clamped at the
+            edges (jnp.interp semantics) — broadcast+reshape, gather-free."""
+            npts = ph_avg.shape[-1]
+            lo = ph_avg[:, :-1, None]
+            hi = ph_avg[:, 1:, None]
+            mid = (lo + (hi - lo) * wgt).reshape(nmodes, (npts - 1) * cpe_dx)
+            head = jnp.broadcast_to(ph_avg[:, :1], (nmodes, cpe_x0))
+            tail_len = frame_len - cpe_x0 - (npts - 1) * cpe_dx
+            tail = jnp.broadcast_to(ph_avg[:, -1:], (nmodes, tail_len))
+            return jnp.concatenate([head, mid, tail], axis=-1)
+        outs, traces = [], []
+        for f in frames:
+            base = int(f) * frame_len * os
+            fsegs = jnp.stack([lax.dynamic_slice(E2, (0, eqsh[i] + base),
+                                                 (nmodes, fr_len))
+                               for i in range(nmodes)])
+            sym = jax.vmap(lambda seg, w:
+                           eqops.apply_filter_to_signal(seg, os, w)[0]
+                           )(fsegs, taps[:, None])    # (nmodes, F)
+            if _stage == "filter":
+                outs.append(sym)
+                continue
+            # pilot CPE (reference :258-327): gather phase pilots, unwrap,
+            # cumsum moving average, linear interpolation, derotate
+            rec_pil = sym[:, ph_idx_d]
+            res_ph = jnp.unwrap(jnp.angle(jnp.conj(pil_c) * rec_pil), axis=-1)
+            z = jnp.zeros((nmodes, 1), res_ph.dtype)
+            cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
+            ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
+            trace = interp_uniform(ph_avg)
+            out = sym * jnp.exp(-1j * trace).astype(sym.dtype)
+            outs.append(out[:, dat_idx_d])
+            traces.append(trace)
 
-        data = out[:, jnp.asarray(dat_idx)]
+        if _stage == "filter":
+            return jnp.sum(jnp.abs(jnp.stack(outs))), {}
+        data = jnp.concatenate(outs, axis=-1)
         info = {"shift": shift, "sync_corr": sync_corr,
-                "foe": foe_coarse + foe_pil, "phase": trace,
+                "foe": foe_coarse + foe_pil,
+                "phase": jnp.concatenate(traces, axis=-1),
                 "mode_order": mode_order}
         return data, info
 

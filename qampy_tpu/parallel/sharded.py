@@ -176,7 +176,7 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
     from qampy_tpu.ops.chain import pallas_eligibility, _resolve_pallas
     const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
-    grid = phops.detect_square_grid(const)
+    grid = phops.detect_grid(const)
     # the compiled-TPU lane-tile rules (block_size/bps_tile % 128) are
     # checked here statically so an ineligible config degrades loudly
     # instead of silently running XLA per shard

@@ -63,7 +63,7 @@ def run_benchmarks(nsyms=2 ** 18, M=64, reps=5, methods=("cma", "mcma", "rde", "
     # BPS 64 angles (reference :38-47)
     angles = jnp.linspace(-np.pi / 4, np.pi / 4, 64, endpoint=False,
                           dtype=np.float32).reshape(1, -1)
-    grid = phops.detect_square_grid(const)
+    grid = phops.detect_grid(const)
     bps = jax.jit(lambda e: phops.bps_idx(e, angles, constd, 14, grid=grid))
     results["bps"] = nsyms / time_fn(bps, zd, reps=reps) / 1e6
 

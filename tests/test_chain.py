@@ -78,23 +78,34 @@ class TestRxChain:
         d_one = _ser(jax.jit(make_rx_chain(bps_mode="single", **kw))(E), 64)
         assert d_two < d_one + 0.01
 
-    def test_cross_qam_falls_back_to_xla(self):
-        # cross 32-QAM has no square grid: requesting pallas must fall back
-        # to the XLA kernels (with a warning) instead of tripping kernel
-        # asserts, and backend_info must report the downgrade
+    def test_cross_qam_takes_fused_path(self):
+        # cross 32-QAM rides the fused Pallas path via the analytic
+        # two-rectangle decision (ops/phase.detect_grid kind "x") — and
+        # the chain must actually recover the signal
         import jax.random as jr
         sig = qt.SignalQAMGrayCoded(32, 2 ** 13, nmodes=2, fb=25e9, seed=3)
         s2 = qt.impairments.change_snr(sig.resample(50e9, beta=0.1), 30,
                                        key=jr.PRNGKey(1))
-        with pytest.warns(UserWarning, match="square grid"):
-            fwd_py = make_rx_chain(M=32, Ntaps=11, os=2, bps_angles=32,
-                                   bps_N=10, block_size=64, pallas=True,
-                                   methods=("cma", "sbd"))
+        fwd_py = make_rx_chain(M=32, Ntaps=11, os=2, bps_angles=32,
+                               bps_N=10, block_size=128, bps_tile=512,
+                               pallas=True, methods=("cma", "sbd"))
+        assert fwd_py.backend_info["pallas"] is True
+        assert fwd_py.backend_info["reasons"] == ()
+        out = jax.jit(fwd_py)(np.asarray(s2).astype(np.complex64))
+        # mean distance to the constellation, same gate scale as the
+        # 64-QAM recovery tests above (converged chains sit ~0.05 at 30 dB)
+        assert _ser(out, 32) < 0.08
+
+    def test_unsupported_method_falls_back_to_xla(self):
+        # a method the fused block trainer does not implement must fall
+        # back to the XLA kernels (with a warning) instead of tripping
+        # kernel asserts, and backend_info must report the downgrade
+        with pytest.warns(UserWarning, match="not implemented"):
+            fwd_py = make_rx_chain(M=64, Ntaps=11, os=2, bps_angles=32,
+                                   bps_N=10, block_size=128, pallas=True,
+                                   methods=("cma2", "sbd"))
         assert fwd_py.backend_info["pallas"] is False
         assert fwd_py.backend_info["reasons"]
-        fwd = jax.jit(fwd_py)
-        o = np.asarray(fwd(np.asarray(s2).astype(np.complex64)))
-        assert np.isfinite(o).all()
 
     def test_backend_info_eligible(self):
         # an eligible config reports pallas-capable with no reasons (the

@@ -95,11 +95,14 @@ class TestBlindEqualisation:
         # (reference test_equalisation.py:100-126)
         sig = _make_signal(4 if method in ("cma", "mcma") else 64, N=10 ** 5,
                            nmodes=1, snr=30, dgd=None)
-        if method in ("dd", "rde", "mrde", "mddma"):
+        if method in ("sbd", "dd", "rde", "mrde", "mddma"):
             # decision/radius-directed methods on dense constellations need a
             # sane starting sampling phase when run without CMA pre-convergence
             # (the reference rolls by Ntaps//2 for its data-aided tests for
-            # the same reason, test_equalisation.py:110)
+            # the same reason, test_equalisation.py:110; sbd joined the list
+            # when the adaptive step-size gained the reference's exact
+            # previous-error shrink — the old rule happened to rescue a bad
+            # sampling phase, verified element-wise against the reference)
             sig = sig.replace(samples=np.roll(np.asarray(sig), 19 // 2, axis=-1))
         E, wx, e = equalisation.equalise_signal(sig, 0.5e-2, Niter=3, Ntaps=19,
                                                 adaptive_stepsize=True, apply=True,

@@ -53,7 +53,7 @@ class TestPallasBPS:
         from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
         from qampy_tpu.ops import phase as phops
         const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
-        grid = phops.detect_square_grid(const)
+        grid = phops.detect_grid(const)
         ph = np.cumsum(rng.normal(0, lw / np.sqrt(L), (2, L)), axis=-1)
         E = (const[rng.integers(0, M, (2, L))] * np.exp(1j * ph)
              + .01 * (rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L)))
@@ -77,6 +77,46 @@ class TestPallasBPS:
         assert mism.mean() < 2e-3
         if mism.any():
             assert np.abs(ref.astype(int) - got.astype(int))[mism].max() <= 1
+
+    @pytest.mark.parametrize("M", [32, 128, 8])
+    def test_matches_xla_idx_nonsquare(self, rng, M):
+        """Cross (32/128) and rectangular (8) QAM ride the analytic
+        decision; the fused kernel must agree with the XLA O(M) search."""
+        import jax
+        import jax.numpy as jnp
+        from qampy_tpu.ops import phase as phops
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        const, grid, E = self._setup(rng, M=M, L=2048)
+        assert phops.grid_decision_info(grid)[0] in ("x", "r")
+        angles = np.linspace(-np.pi / 4, np.pi / 4, 32, endpoint=False,
+                             dtype=np.float32)
+        ref = np.asarray(jax.vmap(
+            lambda e: phops.bps_idx(e, angles.reshape(1, -1),
+                                    jnp.asarray(const), 8, grid=None)
+        )(jnp.asarray(E)))
+        got = np.asarray(bps_idx_pallas(E, angles, grid, 8, T=256,
+                                        interpret=True))
+        assert np.array_equal(ref, got)
+
+    def test_matches_xla_idx_general_alphabet(self, rng):
+        """The ("gen", sr, si) spec — arbitrary alphabets (PS shaping) —
+        unrolls the O(M) search inside the kernel; must equal XLA."""
+        import jax
+        import jax.numpy as jnp
+        from qampy_tpu.ops import phase as phops
+        from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        const, _, E = self._setup(rng, M=32, L=2048)
+        spec = ("gen", tuple(float(x) for x in const.real),
+                tuple(float(x) for x in const.imag))
+        angles = np.linspace(-np.pi / 4, np.pi / 4, 32, endpoint=False,
+                             dtype=np.float32)
+        ref = np.asarray(jax.vmap(
+            lambda e: phops.bps_idx(e, angles.reshape(1, -1),
+                                    jnp.asarray(const), 8, grid=None)
+        )(jnp.asarray(E)))
+        got = np.asarray(bps_idx_pallas(E, angles, spec, 8, T=256,
+                                        interpret=True))
+        assert np.array_equal(ref, got)
 
     @pytest.mark.parametrize("T,A,B,N", [(512, 16, 8, 14), (256, 32, 4, 8)])
     def test_twostage_matches_xla(self, rng, T, A, B, N):
@@ -147,6 +187,22 @@ class TestPallasBlockTrainer:
         assert np.allclose(np.asarray(w_b), np.asarray(w_p), atol=1e-4)
         assert np.allclose(np.asarray(mu_b), np.asarray(mu_p), atol=1e-6)
         assert np.allclose(np.asarray(err_b), np.asarray(err_p), atol=1e-3)
+
+    @pytest.mark.parametrize("method", ["sbd", "mddma", "dd"])
+    def test_matches_block_backend_cross_qam(self, field, method):
+        """Decision methods on cross 32-QAM: the joint two-rectangle
+        decision must reproduce the XLA block trainer's O(M) search."""
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+        w0 = eqops._init_taps(11, 2, 2, np.complex64)
+        syms = eqops._reshape_symbols(None, method, 32, np.complex64, 2)
+        err_b, w_b, mu_b = eqops.train_equaliser_block(
+            field, 1024, 2, 2, 1e-3, w0, syms, method, adaptive=True,
+            block_size=128)
+        err_p, w_p, mu_p = train_equaliser_block_pallas(
+            field, 1024, 2, 2, 1e-3, w0, syms, method, adaptive=True,
+            block_size=128, interpret=True)
+        assert np.allclose(np.asarray(w_b), np.asarray(w_p), atol=1e-4)
+        assert np.allclose(np.asarray(mu_b), np.asarray(mu_p), atol=1e-6)
 
     def test_via_equalise_signal_backend(self, field):
         """backend='pallas_block' plugs into the public driver."""

@@ -94,6 +94,17 @@ class TestFusedPilotChain:
         ser_fused = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser_fused < 5e-4) and np.all(ser_gran < 5e-4)
 
+    def test_multiframe(self):
+        """Train once, demodulate two frames in the same dispatch
+        (reference pilot_equaliser_nframes, qampy/equalisation.py:340-397)."""
+        sig, s2 = _make_sig(snr=30, dgd=20e-12, theta=np.pi / 4.3,
+                            lwdth=20e3, roll_frame_sync=True)
+        out, info = _run(sig, s2, cut=0, frames=(0, 1))
+        ndata = np.count_nonzero(np.asarray(sig.idx_pil) == 0)
+        assert out.samples.shape == (2, 2 * ndata)
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 1e-3), ser
+
     def test_backend_info(self):
         sig, _ = _make_sig()
         fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),

@@ -141,6 +141,28 @@ class TestBPS:
             idx_grid = np.asarray(phops.bps_idx(E, angles, const, N, grid=grid))
             np.testing.assert_array_equal(idx_grid, idx_ref)
 
+    @pytest.mark.parametrize("M", [32, 128])
+    def test_bps_idx_cross_qam_elementwise(self, M):
+        """Cross-QAM analytic two-rectangle decision vs the reference's
+        O(M) search (pythran_dsp.py:47-85) on identical inputs."""
+        with jax.enable_x64():
+            rng = np.random.default_rng(7)
+            L, A, N = 512, 16, 6
+            const = (np.asarray(theory.cal_symbols_qam(M))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(M)))
+                     ).astype(np.complex128)
+            syms = const[rng.integers(0, M, L)]
+            E = syms * np.exp(1j * 0.08 * np.sin(np.arange(L) / 30))
+            E += 0.02 * (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+            angles = np.linspace(-np.pi / 4, np.pi / 4, A,
+                                 endpoint=False).reshape(1, -1)
+            idx_ref = ref_dsp.bps(E.copy(), np.tile(angles, (L, 1)),
+                                  const.copy(), N)
+            g = phops.detect_grid(const)
+            assert phops.grid_decision_info(g)[0] == "x"
+            idx_x = np.asarray(phops.bps_idx(E, angles, const, N, grid=g))
+            np.testing.assert_array_equal(idx_x, idx_ref)
+
     def test_select_angles(self):
         angles = np.linspace(-1, 1, 16).reshape(1, -1)
         idx = np.array([0, 3, 15, 7], dtype=np.int32)

@@ -1,0 +1,55 @@
+"""Per-stage timing of the fused pilot chain on TPU (fetch-differenced)."""
+import sys, time
+import numpy as np
+sys.path.insert(0, ".")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from qampy_tpu.ops.pilot_chain import make_pilot_rx_chain
+
+REPS_A, REPS_B = 3, 13
+
+def timeit(fwd, Er, Ei, label):
+    def make(reps):
+        @jax.jit
+        def timed(er, ei, s0):
+            def body(i, carry):
+                scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                out, _ = fwd(er * scale + 1j * (ei * scale))
+                if out.ndim:
+                    out = jnp.mean(jnp.abs(out))
+                return out.real.astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, s0)
+        return timed
+    tA, tB = make(REPS_A), make(REPS_B)
+    np.asarray(tA(Er, Ei, jnp.float32(0.)))
+    np.asarray(tB(Er, Ei, jnp.float32(0.5)))
+    def run(f, seed):
+        t0 = time.perf_counter()
+        np.asarray(f(Er, Ei, jnp.float32(seed)))
+        return time.perf_counter() - t0
+    a = min(run(tA, 1.0), run(tA, 2.0))
+    b = min(run(tB, 3.0), run(tB, 4.0))
+    dt = max(b - a, 1e-9) / (REPS_B - REPS_A)
+    print("%-28s %8.2f ms" % (label, dt * 1e3), flush=True)
+    return dt
+
+def main():
+    d = np.load("/tmp/qampy_pilot_tx.npz")
+    M, F, P, R, NF = [int(x) for x in d["meta"]]
+    seq = (d["seq_r"] + 1j * d["seq_i"]).astype(np.complex64)
+    ph = (d["ph_r"] + 1j * d["ph_i"]).astype(np.complex64)
+    Er = jax.device_put(d["Er"]); Ei = jax.device_put(d["Ei"])
+    np.asarray(jax.jit(lambda: jnp.zeros(4, jnp.float32))())
+    stages = sys.argv[1:] or ["sync_train", "sync", "eq", "filter", None]
+    kw = dict(os=2, M=M, nmodes=2, sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
+              Ntaps=45, mu=(1e-3, 1e-3), Niter=30, cpe_avg=3,
+              frames=tuple(range(10)))
+    for st in stages:
+        st = None if st in (None, "full") else st
+        fwd = make_pilot_rx_chain(seq, ph, F, R, _stage=st, **kw)
+        timeit(fwd, Er, Ei, str(st))
+
+if __name__ == "__main__":
+    main()
