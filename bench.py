@@ -245,7 +245,7 @@ def pilot_maketx(path):
     jax.config.update("jax_platforms", "cpu")
     import jax.random as jr
     import qampy_tpu as qt
-    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, 12
+    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, 22
     sig = qt.SignalWithPilots(M, F, P, R, nframes=NF, nmodes=2, fb=24e9, seed=3)
     s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
     s2 = qt.impairments.simulate_transmission(
@@ -423,7 +423,7 @@ def _supervise():
                                   capture_output=True, text=True, timeout=1200)
             if proc.returncode != 0:
                 raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
-        for nfp, gate in ((10, 1e-5), (10, 1e-5)):  # one retry, flaky tunnel
+        for nfp, gate in ((20, 1e-5), (20, 1e-5), (10, 1e-5)):  # retries, flaky tunnel
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
                                    tx_path, str(nfp), repr(gate)],
                                   capture_output=True, text=True, timeout=1800)

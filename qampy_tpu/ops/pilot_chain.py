@@ -148,6 +148,18 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     assert np.all(np.diff(idx_avg) == cpe_dx), "non-uniform pilot spacing"
     cpe_x0 = int(idx_avg[0])
     dat_idx = np.nonzero(idx_dat)[0]
+    # with cpe_pilot_rat == 1 the frame tail is exact R-sample blocks
+    # (pilot at offset 0, payload at 1..R-1): the pilot and payload
+    # extractions are then pure reshapes+slices instead of 2k/62k-element
+    # gathers (~0.2 ms/frame each on TPU)
+    nblk_cpe = (frame_len - seq_len) // int(pilot_ins_rat)
+    blocked_cpe = (cpe_pilot_rat == 1
+                   and (frame_len - seq_len) % int(pilot_ins_rat) == 0
+                   and np.array_equal(
+                       dat_idx, (seq_len + np.arange(nblk_cpe)[:, None]
+                                 * pilot_ins_rat
+                                 + np.arange(1, pilot_ins_rat)[None, :]
+                                 ).reshape(-1)))
 
     # the fused chain's Pallas use is the frame filter (always eligible for
     # complex taps); the trainers are the vmapped XLA block kernels so that
@@ -326,9 +338,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             tail_len = frame_len - cpe_x0 - (npts - 1) * cpe_dx
             tail = jnp.broadcast_to(ph_avg[:, -1:], (nmodes, tail_len))
             return jnp.concatenate([head, mid, tail], axis=-1)
-        outs, traces = [], []
-        for f in frames:
-            base = int(f) * frame_len * os
+        def do_frame(_, base):
+            """Demodulate one frame at capture offset ``base`` (traced)."""
             fsegs = jnp.stack([lax.dynamic_slice(E2, (0, eqsh[i] + base),
                                                  (nmodes, fr_len))
                                for i in range(nmodes)])
@@ -336,26 +347,45 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                            eqops.apply_filter_to_signal(seg, os, w)[0]
                            )(fsegs, taps[:, None])    # (nmodes, F)
             if _stage == "filter":
-                outs.append(sym)
-                continue
-            # pilot CPE (reference :258-327): gather phase pilots, unwrap,
+                return None, (sym, jnp.zeros((nmodes, frame_len), fdt))
+            # pilot CPE (reference :258-327): extract phase pilots, unwrap,
             # cumsum moving average, linear interpolation, derotate
-            rec_pil = sym[:, ph_idx_d]
+            if blocked_cpe:
+                tail = sym[:, seq_len:].reshape(nmodes, nblk_cpe,
+                                                pilot_ins_rat)
+                rec_pil = tail[:, :, 0]
+            else:
+                rec_pil = sym[:, ph_idx_d]
             res_ph = jnp.unwrap(jnp.angle(jnp.conj(pil_c) * rec_pil), axis=-1)
             z = jnp.zeros((nmodes, 1), res_ph.dtype)
             cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
             ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
             trace = interp_uniform(ph_avg)
             out = sym * jnp.exp(-1j * trace).astype(sym.dtype)
-            outs.append(out[:, dat_idx_d])
-            traces.append(trace)
+            if blocked_cpe:
+                tl = out[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat)
+                dat = tl[:, :, 1:].reshape(nmodes, -1)
+            else:
+                dat = out[:, dat_idx_d]
+            return None, (dat, trace)
 
+        bases = jnp.asarray([int(f) * frame_len * os for f in frames])
+        contiguous = list(frames) == list(range(len(frames)))
+        if contiguous and len(frames) > 2:
+            # scan keeps the compiled program one frame big regardless of
+            # how many frames a dispatch demodulates (an unrolled loop at
+            # 20 frames took XLA tens of minutes to compile)
+            _, (data_f, traces_f) = lax.scan(do_frame, None, bases)
+        else:
+            pairs = [do_frame(None, b)[1] for b in bases]
+            data_f = jnp.stack([p[0] for p in pairs])
+            traces_f = jnp.stack([p[1] for p in pairs])
         if _stage == "filter":
-            return jnp.sum(jnp.abs(jnp.stack(outs))), {}
-        data = jnp.concatenate(outs, axis=-1)
+            return jnp.sum(jnp.abs(data_f)), {}
+        data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
         info = {"shift": shift, "sync_corr": sync_corr,
                 "foe": foe_coarse + foe_pil,
-                "phase": jnp.concatenate(traces, axis=-1),
+                "phase": jnp.moveaxis(traces_f, 0, 1).reshape(nmodes, -1),
                 "mode_order": mode_order}
         return data, info
 

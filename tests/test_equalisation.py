@@ -109,6 +109,57 @@ class TestBlindEqualisation:
                                                 method=method)
         assert np.all(np.asarray(E.cal_ser()) < 1e-4)
 
+    @pytest.mark.parametrize("method", ["cma", "mcma", "sbd", "rde", "mrde",
+                                        "dd", "mddma"])
+    @pytest.mark.parametrize("M", [4, 16, 64])
+    @pytest.mark.parametrize("nmodes", [1, 2, 4])
+    def test_method_grid(self, method, M, nmodes):
+        """method x M x nmodes recovery grid (reference
+        test_equalisation.py:100-126 — whose parametrised ``method`` is
+        never actually passed through; here it is)."""
+        if M == 4 and method in ("rde", "mrde"):
+            pytest.skip("single-radius constellation: partition is trivial")
+        if M > 4 and method == "cma":
+            # plain CMA converges to the mean radius only: on multi-ring
+            # constellations the residual modulus error never decodes below
+            # 1e-3 at this mu (the reference uses CMA as stage-1 only;
+            # MCMA/RDE-family cover dense grids here)
+            pytest.skip("CMA alone cannot decode multi-ring constellations")
+        if M == 64 and method == "rde" and nmodes > 1:
+            # documented radius-attractor pathology: multi-mode RDE from
+            # identity taps collapses modes on dense grids (same limit as
+            # the reference's cma->rde pair, see __graft_entry__._flagship_fn
+            # and tests/test_known_limits)
+            pytest.skip("multi-mode RDE radius-attractor collapse at M=64")
+        sig = _make_signal(M, N=2 ** 15, nmodes=nmodes, snr=30, dgd=None,
+                           seed=M + nmodes)
+        if method in ("sbd", "dd", "rde", "mrde", "mddma"):
+            sig = sig.replace(samples=np.roll(np.asarray(sig), 19 // 2,
+                                              axis=-1))
+        E, wx, e = equalisation.equalise_signal(sig, 0.5e-2, Niter=3, Ntaps=19,
+                                                adaptive_stepsize=True,
+                                                apply=True, method=method)
+        assert np.all(np.asarray(E.cal_ser()) < 1e-3)
+
+    def test_nmodes4_block_backend_pmd(self):
+        """4x4 MIMO training on the MXU block backend under pairwise PMD."""
+        sig = qt.SignalQAMGrayCoded(16, 2 ** 15, nmodes=4, fb=25e9, seed=9)
+        up = sig.resample(50e9, beta=0.1)
+        out = impairments.change_snr(up, 25, key=jr.PRNGKey(9))
+        arr = np.asarray(out.samples)
+        # rotate mode pairs (0,1) and (2,3) to give the 4x4 equaliser
+        # genuine cross-mode work
+        th = np.pi / 5.1
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        arr = np.concatenate([R @ arr[:2], R.T @ arr[2:]], axis=0)
+        out = out.replace(samples=np.ascontiguousarray(arr))
+        E, wx, e = equalisation.dual_mode_equalisation(
+            out, (1e-3, 1e-3), 17, methods=("mcma", "sbd"),
+            adaptive_stepsize=(True, True), backend="block")
+        ser = np.asarray(E.cal_ser())
+        assert np.asarray(wx).shape == (4, 4, 17)
+        assert np.all(ser < 1e-3), ser
+
     @pytest.mark.parametrize("method,mu,adaptive", [
         ("sca", 3e-4, False),   # SCA's 16x-scaled error collapses adaptive mu
         ("cme", 1e-3, True),
