@@ -174,8 +174,13 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             adaptive=True, block_size=S)
         return err, wx
 
-    def forward(E):
-        """One full pilot RX: sync -> pilot eq -> filter -> CPE -> payload."""
+    def forward(E, _frame_base=0):
+        """One full pilot RX: sync -> pilot eq -> filter -> CPE -> payload.
+
+        ``_frame_base`` (traced sample offset) shifts every demodulated
+        frame window — the hook the frame-data-parallel mesh receiver
+        (parallel/sharded.make_sharded_pilot_rx) uses to give each device
+        its own frame range while sync/training stay replicated."""
         L = E.shape[-1]
         assert E.shape[0] == nmodes
         assert L >= (frame_len + 2 * seq_len) * os, \
@@ -369,7 +374,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                 dat = out[:, dat_idx_d]
             return None, (dat, trace)
 
-        bases = jnp.asarray([int(f) * frame_len * os for f in frames])
+        bases = (jnp.asarray([int(f) * frame_len * os for f in frames])
+                 + _frame_base)
         contiguous = list(frames) == list(range(len(frames)))
         if contiguous and len(frames) > 2:
             # scan keeps the compiled program one frame big regardless of

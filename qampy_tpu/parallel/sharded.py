@@ -234,3 +234,62 @@ def shard_signal(E, mesh):
     """Device_put a (nmodes, L) array sharded over the time axis."""
     sharding = jax.sharding.NamedSharding(mesh, P(None, TIME))
     return jax.device_put(E, sharding)
+
+
+def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,
+                          pilot_ins_rat, frames_per_device, **chain_kwargs):
+    """Frame-data-parallel pilot receiver over the mesh.
+
+    The pilot receiver's natural multi-chip axis is FRAMES, not time:
+    after one frame sync + pilot-sequence training, every frame of the
+    capture is demodulated independently with the shared taps. Here the
+    sync + two-stage training run replicated (identical on every device —
+    they cost ~half of one frame's demodulation) and each device then
+    demodulates its own ``frames_per_device`` contiguous frames; the only
+    cross-device dependency is the broadcast capture, so scaling
+    efficiency is bounded only by the replicated-prefix fraction
+    (Amdahl), not by per-sample communication.
+
+    Parity: the single-chip fused chain (ops/pilot_chain.py) which itself
+    mirrors reference core/pilotbased_receiver.py:329-554 + :258-327; the
+    reference has no multi-frame parallel path (its
+    ``pilot_equaliser_nframes`` loops frames on the host,
+    qampy/equalisation.py:340-397).
+
+    Returns ``f(E) -> (data, shift, sync_corr)`` where ``E`` is the full
+    (nmodes, L) capture (replicated) and ``data`` is
+    (nmodes, ndev*frames_per_device*n_data) with frames in device order.
+    """
+    from qampy_tpu.ops.pilot_chain import make_pilot_rx_chain
+
+    ndev = mesh.devices.size
+    k = int(frames_per_device)
+    # the per-device chain demodulates frames [0, k) of a capture whose
+    # origin is offset by axis_index*k frames
+    fwd = make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len,
+                              pilot_ins_rat, frames=tuple(range(k)),
+                              **chain_kwargs)
+    os_ = chain_kwargs.get("os", 2)
+
+    def local(E):
+        d = lax.axis_index(TIME)
+        # shift this device's frame window to the capture start: frame f
+        # on device d is global frame d*k + f. The sync stage sees the
+        # same first frames on every device (identical results); only the
+        # demodulation offsets differ.
+        data, info = fwd(E, _frame_base=d * k * frame_len * os_)
+        return data, info["shift"], info["sync_corr"][None]
+
+    smapped = jax.shard_map(local, mesh=mesh,
+                            in_specs=P(None, None),
+                            out_specs=(P(None, TIME), P(TIME), P(TIME)),
+                            check_vma=False)
+    jitted = jax.jit(smapped)
+
+    def chain_fn(E):
+        return jitted(E)
+
+    chain_fn.backend_info = dict(fwd.backend_info, ndev=ndev,
+                                 frames_per_device=k)
+    chain_fn.jitted = jitted
+    return chain_fn

@@ -105,6 +105,31 @@ class TestFusedPilotChain:
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 1e-3), ser
 
+    def test_frame_parallel_mesh(self):
+        """Frame-data-parallel demodulation over the 8-device mesh:
+        sync/training replicated, each device demodulates its own frames
+        (parallel/sharded.make_sharded_pilot_rx)."""
+        import jax
+        from qampy_tpu.parallel import make_mesh, sharded
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=10, nmodes=2,
+                                  fb=24e9, seed=7)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(11))
+        mesh = make_mesh(8)
+        chain = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, frames_per_device=1,
+            os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3)
+        data, shift, corr = chain(jnp.asarray(s2.samples))
+        assert np.asarray(corr).shape == (8,)
+        out = sig.get_data().replace(samples=jnp.asarray(np.asarray(data)))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 1e-3), ser
+
     def test_backend_info(self):
         sig, _ = _make_sig()
         fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
