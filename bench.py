@@ -245,7 +245,7 @@ def pilot_maketx(path):
     jax.config.update("jax_platforms", "cpu")
     import jax.random as jr
     import qampy_tpu as qt
-    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, 22
+    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, 42
     sig = qt.SignalWithPilots(M, F, P, R, nframes=NF, nmodes=2, fb=24e9, seed=3)
     s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
     s2 = qt.impairments.simulate_transmission(
@@ -297,7 +297,7 @@ def pilot_main(path, nframes_proc, gate_ber):
     fwd = make_pilot_rx_chain(seq, ph, F, R, os=2, M=M, nmodes=2,
                               sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
                               Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
-                              cpe_avg=3, frames=frames)
+                              cpe_avg=3, frames=frames, block_size=256)
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
     nsym_payload = idx_tx.shape[-1] * idx_tx.shape[0]
@@ -423,7 +423,7 @@ def _supervise():
                                   capture_output=True, text=True, timeout=1200)
             if proc.returncode != 0:
                 raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
-        for nfp, gate in ((20, 1e-5), (20, 1e-5), (10, 1e-5)):  # retries, flaky tunnel
+        for nfp, gate in ((40, 1e-5), (40, 1e-5), (20, 1e-5)):  # retries, flaky tunnel
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
                                    tx_path, str(nfp), repr(gate)],
                                   capture_output=True, text=True, timeout=1800)

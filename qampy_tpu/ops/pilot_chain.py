@@ -56,7 +56,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                         methods=("cma", "cma"), foe_comp=False,
                         cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
-                        block_size=128, pallas=None, _stage=None):
+                        block_size=128, pallas=None, frames_mode="scan",
+                        _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
     Parameters mirror the granular chain: ``pilot_seq`` (nmodes,
@@ -376,12 +377,16 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
 
         bases = (jnp.asarray([int(f) * frame_len * os for f in frames])
                  + _frame_base)
-        contiguous = list(frames) == list(range(len(frames)))
-        if contiguous and len(frames) > 2:
-            # scan keeps the compiled program one frame big regardless of
-            # how many frames a dispatch demodulates (an unrolled loop at
-            # 20 frames took XLA tens of minutes to compile)
-            _, (data_f, traces_f) = lax.scan(do_frame, None, bases)
+        if len(frames) > 2:
+            # one traced frame body regardless of frame count (an unrolled
+            # loop at 20 frames took XLA tens of minutes to compile):
+            # vmap batches every frame's filter into one MXU contraction;
+            # scan bounds memory for very large dispatches
+            if frames_mode == "vmap":
+                data_f, traces_f = jax.vmap(
+                    lambda b: do_frame(None, b)[1])(bases)
+            else:
+                _, (data_f, traces_f) = lax.scan(do_frame, None, bases)
         else:
             pairs = [do_frame(None, b)[1] for b in bases]
             data_f = jnp.stack([p[0] for p in pairs])
