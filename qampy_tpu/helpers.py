@@ -6,7 +6,25 @@ Signal pytrees (attribute-preserving wrappers live on the Signal methods).
 """
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+
+
+def _object_aware(fn):
+    """Accept a Signal pytree as first argument and rewrap the result.
+
+    The reference's helpers operate on its ndarray-subclass signal objects
+    and return the same type (reference helpers.py works on SignalBase);
+    here signals are pytrees, so helpers unwrap ``.samples`` and rewrap via
+    ``.replace`` — plain arrays pass through untouched.
+    """
+    @functools.wraps(fn)
+    def wrapped(E, *args, **kwargs):
+        if hasattr(E, "samples") and hasattr(E, "replace"):
+            return E.replace(samples=fn(E.samples, *args, **kwargs))
+        return fn(E, *args, **kwargs)
+    return wrapped
 
 
 def cabssquared(x):
@@ -24,6 +42,7 @@ def lin2dB(x):
     return 10 * jnp.log10(jnp.asarray(x))
 
 
+@_object_aware
 def normalise_and_center(E):
     """Center each mode to zero mean and normalise to unit average power.
 
@@ -39,6 +58,7 @@ def normalise_and_center(E):
     return E / P
 
 
+@_object_aware
 def normalise_and_center_pil(sig, idx_pil):
     """Center/normalise based on the pilot symbols only (reference helpers.py:59-74)."""
     sig = jnp.asarray(sig)
@@ -52,6 +72,7 @@ def normalise_and_center_pil(sig, idx_pil):
     return (sig + ct) / p
 
 
+@_object_aware
 def dump_edges(E, N):
     """Remove N samples from the beginning and end (reference helpers.py:77-84)."""
     if E.ndim > 1:
@@ -59,6 +80,7 @@ def dump_edges(E, N):
     return E[N:-N]
 
 
+@_object_aware
 def set_mid_point(E, mid_pos=0):
     """Move the signal's mid position to a given value (reference helpers.py:86-95)."""
     E = jnp.asarray(E)
@@ -69,6 +91,7 @@ def set_mid_point(E, mid_pos=0):
     return E - mid + mid_pos
 
 
+@_object_aware
 def rescale_signal(E, swing=1):
     """Rescale signal to (-swing, swing) per mode (reference helpers.py:98-108)."""
     E = jnp.atleast_2d(jnp.asarray(E))
