@@ -91,33 +91,47 @@ def frame_sync(rx_signal, ref_symbs, os, frame_len=2 ** 16, M_pilot=4, mu=1e-3,
     wxys = np.zeros((num_steps, nmodes, nmodes, Ntaps), dtype=rx_signal.dtype)
     wxys[search_overlap:] = np.asarray(wxys_b)
     # ---- pick the lowest-error window per mode, then align sequences ----
+    # All nmodes alignment segments are filtered, FOE-corrected and
+    # correlated against every tx pilot sequence in ONE batched device
+    # computation (the reference loops nmodes x nmodes host-side FFTs,
+    # :397-418); only the tiny greedy assignment runs on fetched values.
     min_range = np.argmin(sub_vars, axis=-1)
     wxy = wxys[min_range]
+    segs = np.stack([rx_signal[:, m * step - search_window: m * step + search_window]
+                     for m in min_range])            # (nmodes, nmodes, 2sw)
+    symbs_b = jax.vmap(lambda s, w: equaliser.apply_filter(s, os, w))(
+        jnp.asarray(segs), jnp.asarray(wxy))          # (nmodes, nmodes, Ls)
+    foe_b = jax.vmap(phase.find_freq_offset)(symbs_b)  # (nmodes, nmodes, 1)
+    symbs_b = jax.vmap(phase.comp_freq_offset)(symbs_b, foe_b)
+    # rows of interest: segment l's own output mode l
+    sy = symbs_b[jnp.arange(nmodes), jnp.arange(nmodes)]  # (nmodes, Ls)
+    Ls = sy.shape[-1]
+    n = pilot_seq_len + Ls - 1
+    nfft = int(2 ** np.ceil(np.log2(n)))
+    Xf = jnp.fft.fft(jnp.asarray(ref_symbs), nfft, axis=-1)  # (nmodes, nfft)
+    Yf = jnp.fft.fft(jnp.conj(sy)[:, ::-1], nfft, axis=-1)
+    ac = jnp.fft.ifft(Xf[None, :, :] * Yf[:, None, :], axis=-1)[..., :n]
+    # find_sequence_offset_complex semantics: delay from argmax |ac|, the
+    # quality metric is the rotation-max of the real part
+    acr = jnp.maximum(jnp.abs(ac.real), jnp.abs(ac.imag))
+    acm = np.asarray(jnp.max(acr, axis=-1))           # (l, ref_pol)
+    delays = np.asarray(-(jnp.argmax(jnp.abs(ac), axis=-1) - (Ls - 1)))
+    foe_host = np.asarray(foe_b)
     shift_factor = np.zeros(nmodes, dtype=int)
-    foe_corse = np.zeros((nmodes, 1))
-    wx1 = wxy[0]
+    foe_corse = foe_host[0]
     for l in range(nmodes):
-        idx_min = min_range[l]
-        longSeq = rx_signal[:, idx_min * step - search_window: idx_min * step + search_window]
-        wx1 = wxy[l]
-        symbs_out = equaliser.apply_filter(longSeq, os, wx1)
-        foe_corse = phase.find_freq_offset(symbs_out)
-        symbs_out = phase.comp_freq_offset(symbs_out, foe_corse)
-        max_phase_rot = np.zeros(nmodes, dtype=np.float64)
-        found_delay = np.zeros(nmodes, dtype=np.int32)
-        for ref_pol in not_found_modes:
-            ix, dat, ii, ac = ber_functions.find_sequence_offset_complex(
-                ref_symbs[ref_pol], np.asarray(symbs_out[l]))
-            found_delay[ref_pol] = -int(ix)
-            max_phase_rot[ref_pol] = float(ac)
-        max_sync_pol = int(np.argmax(max_phase_rot))
-        if max_phase_rot[max_sync_pol] < FRAME_SYNC_THRS:
+        masked = np.where(np.isin(np.arange(nmodes), not_found_modes),
+                          acm[l], -np.inf)
+        max_sync_pol = int(np.argmax(masked))
+        if masked[max_sync_pol] < FRAME_SYNC_THRS:
             warnings.warn("Very low autocorrelation, likely the frame-sync failed")
             sync_bool = False
         mode_sync_order[l] = max_sync_pol
-        symb_delay = found_delay[max_sync_pol]
         not_found_modes = not_found_modes[not_found_modes != max_sync_pol]
-        shift_factor[l] = idx_min * step + os * symb_delay - search_window
+        shift_factor[l] = (min_range[l] * step
+                           + os * int(delays[l, max_sync_pol]) - search_window)
+        foe_corse = foe_host[l]                       # reference keeps the last
+    wx1 = wxy[nmodes - 1]
     return shift_factor, np.asarray(foe_corse), mode_sync_order, np.asarray(wx1), sync_bool
 
 
