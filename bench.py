@@ -414,7 +414,7 @@ def _supervise():
     # ---- pilot-chain number (BASELINE config 4), merged into the same
     # JSON line: TX synthesis runs in a CPU-forced subprocess, the timing
     # attempt on the real chip with a BER gate at the reference tolerance
-    tx_path = "/tmp/qampy_pilot_tx.npz"
+    tx_path = "/tmp/qampy_pilot_tx_nf42.npz"
     try:
         import os.path
         if not os.path.exists(tx_path):
