@@ -232,7 +232,7 @@ def main():
     print(json.dumps(result))
 
 
-def pilot_maketx(path):
+def pilot_maketx(path, nframes=42):
     """Synthesise the pilot-chain TX capture on the CPU backend and save it
     as float32 planes + metadata (the TPU subprocess only sees the RX
     workload; complex arrays never cross the tunnel).
@@ -245,7 +245,7 @@ def pilot_maketx(path):
     jax.config.update("jax_platforms", "cpu")
     import jax.random as jr
     import qampy_tpu as qt
-    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, 42
+    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, int(nframes)
     sig = qt.SignalWithPilots(M, F, P, R, nframes=NF, nmodes=2, fb=24e9, seed=3)
     s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
     s2 = qt.impairments.simulate_transmission(
@@ -446,7 +446,9 @@ if __name__ == "__main__":
     if "--single" in sys.argv:
         main()
     elif "--pilot-maketx" in sys.argv:
-        pilot_maketx(sys.argv[sys.argv.index("--pilot-maketx") + 1])
+        i0 = sys.argv.index("--pilot-maketx")
+        nf = int(sys.argv[i0 + 2]) if len(sys.argv) > i0 + 2 else 42
+        pilot_maketx(sys.argv[i0 + 1], nf)
     elif "--pilot-single" in sys.argv:
         i0 = sys.argv.index("--pilot-single")
         pilot_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),
