@@ -414,16 +414,16 @@ def _supervise():
     # ---- pilot-chain number (BASELINE config 4), merged into the same
     # JSON line: TX synthesis runs in a CPU-forced subprocess, the timing
     # attempt on the real chip with a BER gate at the reference tolerance
-    tx_path = "/tmp/qampy_pilot_tx_nf42.npz"
+    tx_path = "/tmp/qampy_pilot_tx_nf84.npz"
     try:
         import os.path
         if not os.path.exists(tx_path):
             proc = subprocess.run([sys.executable, __file__,
-                                   "--pilot-maketx", tx_path],
+                                   "--pilot-maketx", tx_path, "84"],
                                   capture_output=True, text=True, timeout=1200)
             if proc.returncode != 0:
                 raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
-        for nfp, gate in ((40, 1e-5), (40, 1e-5), (20, 1e-5)):  # retries, flaky tunnel
+        for nfp, gate in ((80, 1e-5), (80, 1e-5), (40, 1e-5)):  # retries, flaky tunnel
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
                                    tx_path, str(nfp), repr(gate)],
                                   capture_output=True, text=True, timeout=1800)

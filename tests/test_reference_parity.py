@@ -290,3 +290,55 @@ class TestPRBS:
         want = ref_dsp.prbs_int(0b101010101010101, mask, 15, 512)
         got = np.asarray(prbs.prbs_int(0b101010101010101, mask, 15, 512))
         np.testing.assert_array_equal(got, np.asarray(want))
+
+
+class TestMonteCarloMI:
+    """qampy_tpu.core.metrics.cal_mi_mc[_fast] vs reference
+    pythran_dsp.cal_mi_mc/cal_mi_mc_fast (:289-313): deterministic given the
+    noise/signal realisations, so element-wise agreement is exact math."""
+
+    def test_cal_mi_mc(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(11)
+            const = (np.asarray(theory.cal_symbols_qam(16))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(16)))
+                     ).astype(np.complex128)
+            N0 = 0.05
+            noise = np.sqrt(N0 / 2) * (rng.standard_normal(200)
+                                       + 1j * rng.standard_normal(200))
+            want = ref_dsp.cal_mi_mc(noise, const, N0)
+            got = float(np.asarray(metrics.cal_mi_mc(noise, const, N0)))
+            np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_cal_mi_mc_fast(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(12)
+            const = (np.asarray(theory.cal_symbols_qam(16))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(16)))
+                     ).astype(np.complex128)
+            N0 = 0.05
+            tx = const[rng.integers(0, 16, 300)]
+            sig = tx + np.sqrt(N0 / 2) * (rng.standard_normal(300)
+                                          + 1j * rng.standard_normal(300))
+            want = ref_dsp.cal_mi_mc_fast(sig, tx, const, N0)
+            got = float(np.asarray(metrics.cal_mi_mc_fast(sig, tx, const, N0)))
+            np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestLutAvg:
+    """qampy_tpu.core.digital_pre_compensation.cal_lut_avg (segment sums) vs
+    reference pythran_dsp.cal_lut_avg (:201-240) serial accumulation."""
+
+    def test_elementwise(self):
+        from qampy_tpu.core import digital_pre_compensation as dpc
+        with jax.enable_x64():
+            rng = np.random.default_rng(13)
+            L, N = 500, 64
+            err = (rng.standard_normal(L)
+                   + 1j * rng.standard_normal(L)).astype(np.complex128)
+            # reference asserts idx arrays strictly longer than err
+            idx_I = rng.integers(0, N, L + 4)
+            idx_Q = rng.integers(0, N, L + 4)
+            want = ref_dsp.cal_lut_avg(err, idx_I, idx_Q, N)
+            got = np.asarray(dpc.cal_lut_avg(err, idx_I, idx_Q, N))
+            np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
