@@ -57,7 +57,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         methods=("cma", "cma"), foe_comp=False,
                         cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
                         block_size=128, pallas=None, frames_mode="scan",
-                        _stage=None):
+                        frames_unroll=1, return_phase=True, _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
     Parameters mirror the granular chain: ``pilot_seq`` (nmodes,
@@ -83,8 +83,11 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     samples), ``sync_corr`` (the weakest pilot autocorrelation peak — frame
     sync is unreliable below ops.pilots.FRAME_SYNC_THRS), ``foe`` (per-mode
     coarse + pilot frequency-offset estimate, fractional units), ``phase``
-    (the CPE trace over the frame), ``mode_order`` (the found mode
-    permutation).
+    (the CPE trace over the frame; omitted when ``return_phase=False`` to
+    save the per-frame trace write + final relayout), ``mode_order`` (the
+    found mode permutation). ``frames_unroll`` unrolls the frame scan body
+    that many times per loop step (cross-frame fusion without the
+    full-unroll compile blowup).
     """
     import jax
     import jax.numpy as jnp
@@ -373,7 +376,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                 dat = tl[:, :, 1:].reshape(nmodes, -1)
             else:
                 dat = out[:, dat_idx_d]
-            return None, (dat, trace)
+            return None, (dat, trace if return_phase else None)
 
         bases = (jnp.asarray([int(f) * frame_len * os for f in frames])
                  + _frame_base)
@@ -381,23 +384,28 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             # one traced frame body regardless of frame count (an unrolled
             # loop at 20 frames took XLA tens of minutes to compile):
             # vmap batches every frame's filter into one MXU contraction;
-            # scan bounds memory for very large dispatches
+            # scan bounds memory for very large dispatches. frames_unroll
+            # replicates the scan body that many times per loop iteration
+            # (cross-frame fusion without the full-unroll compile blowup)
             if frames_mode == "vmap":
                 data_f, traces_f = jax.vmap(
                     lambda b: do_frame(None, b)[1])(bases)
             else:
-                _, (data_f, traces_f) = lax.scan(do_frame, None, bases)
+                _, (data_f, traces_f) = lax.scan(do_frame, None, bases,
+                                                 unroll=frames_unroll)
         else:
             pairs = [do_frame(None, b)[1] for b in bases]
             data_f = jnp.stack([p[0] for p in pairs])
-            traces_f = jnp.stack([p[1] for p in pairs])
+            traces_f = (jnp.stack([p[1] for p in pairs])
+                        if return_phase else None)
         if _stage == "filter":
             return jnp.sum(jnp.abs(data_f)), {}
         data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
         info = {"shift": shift, "sync_corr": sync_corr,
                 "foe": foe_coarse + foe_pil,
-                "phase": jnp.moveaxis(traces_f, 0, 1).reshape(nmodes, -1),
                 "mode_order": mode_order}
+        if return_phase:
+            info["phase"] = jnp.moveaxis(traces_f, 0, 1).reshape(nmodes, -1)
         return data, info
 
     forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),

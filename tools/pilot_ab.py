@@ -1,0 +1,105 @@
+"""A/B pilot-chain frame-body variants on the real TPU (fetch-differenced).
+
+Variants of the 80-frame serving dispatch: phase-trace output on/off and
+frame-scan unroll factor. BER-gated once per variant (must stay exactly
+at the baseline's BER).
+
+Run: python tools/pilot_ab.py /tmp/qampy_pilot_tx_nf84.npz 80
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+from qampy_tpu.ops.pilot_chain import make_pilot_rx_chain  # noqa: E402
+from qampy_tpu.core.metrics import decision_idx  # noqa: E402
+
+REPS_A, REPS_B = 3, 13
+
+
+def timeit(fwd, Er, Ei):
+    def make(reps):
+        @jax.jit
+        def timed(er, ei, s0):
+            def body(i, carry):
+                scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                data, _ = fwd(er * scale + 1j * (ei * scale))
+                return jnp.mean(jnp.abs(data)).astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, s0)
+        return timed
+
+    tA, tB = make(REPS_A), make(REPS_B)
+    np.asarray(tA(Er, Ei, jnp.float32(0.)))
+    np.asarray(tB(Er, Ei, jnp.float32(0.5)))
+
+    def run(f, seed):
+        t0 = time.perf_counter()
+        np.asarray(f(Er, Ei, jnp.float32(seed)))
+        return time.perf_counter() - t0
+
+    a = min(run(tA, 1.0), run(tA, 2.0))
+    b = min(run(tB, 3.0), run(tB, 4.0))
+    return max(b - a, 1e-9) / (REPS_B - REPS_A)
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/qampy_pilot_tx_nf84.npz"
+    nfp = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    d = np.load(path)
+    M, F, P, R, NF = [int(x) for x in d["meta"]]
+    seq = (d["seq_r"] + 1j * d["seq_i"]).astype(np.complex64)
+    ph = (d["ph_r"] + 1j * d["ph_i"]).astype(np.complex64)
+    coded = (d["coded_r"] + 1j * d["coded_i"]).astype(np.complex64)
+    frames = tuple(range(nfp))
+    idx_tx = np.tile(d["idx_tx"], (1, nfp))
+    bits_h = d["bits_tbl"].astype(np.float32)
+    nsym = idx_tx.shape[-1] * idx_tx.shape[0]
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+    np.asarray(jax.jit(lambda: jnp.zeros(4, jnp.float32))())
+    Er = jax.device_put(d["Er"])
+    Ei = jax.device_put(d["Ei"])
+
+    kw = dict(os=2, M=M, nmodes=2, sync_Ntaps=17, sync_mu=5e-3,
+              sync_Niter=10, Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
+              cpe_avg=3, frames=frames, block_size=256)
+    variants = [
+        ("baseline", dict()),
+        ("nophase", dict(return_phase=False)),
+        ("nophase+unroll4", dict(return_phase=False, frames_unroll=4)),
+        ("nophase+unroll8", dict(return_phase=False, frames_unroll=8)),
+    ]
+    for name, extra in variants:
+        fwd = make_pilot_rx_chain(seq, ph, F, R, **{**kw, **extra})
+
+        @jax.jit
+        def gate(er, ei):
+            data, _ = fwd(er + 1j * ei)
+            idx_rx = decision_idx(data, coded)
+            bt = jnp.asarray(bits_h)
+            it = jnp.asarray(idx_tx)
+            return jnp.mean((bt[idx_rx] != bt[it]).astype(jnp.float32))
+
+        for attempt in range(3):
+            try:
+                ber = float(np.asarray(gate(Er, Ei)))
+                break
+            except Exception as e:
+                print("%s gate attempt %d failed: %s" % (name, attempt,
+                                                         str(e)[:150]),
+                      file=sys.stderr, flush=True)
+                time.sleep(10)
+        else:
+            print("%-18s EXECUTION FAILED" % name, flush=True)
+            continue
+        dt = timeit(fwd, Er, Ei)
+        print("%-18s %7.2f ms  %7.1f Msym/s  BER=%.2e"
+              % (name, dt * 1e3, nsym / dt / 1e6, ber), flush=True)
+
+
+if __name__ == "__main__":
+    main()

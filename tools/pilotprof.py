@@ -36,16 +36,26 @@ def timeit(fwd, Er, Ei, label):
     return dt
 
 def main():
-    d = np.load("/tmp/qampy_pilot_tx.npz")
+    argv = list(sys.argv[1:])
+    path, nframes, block_size = "/tmp/qampy_pilot_tx.npz", 10, 128
+    if "--tx" in argv:
+        i = argv.index("--tx"); path = argv[i + 1]; del argv[i:i + 2]
+    if "--frames" in argv:
+        i = argv.index("--frames"); nframes = int(argv[i + 1]); del argv[i:i + 2]
+    if "--bs" in argv:
+        i = argv.index("--bs"); block_size = int(argv[i + 1]); del argv[i:i + 2]
+    d = np.load(path)
     M, F, P, R, NF = [int(x) for x in d["meta"]]
     seq = (d["seq_r"] + 1j * d["seq_i"]).astype(np.complex64)
     ph = (d["ph_r"] + 1j * d["ph_i"]).astype(np.complex64)
-    Er = jax.device_put(d["Er"]); Ei = jax.device_put(d["Ei"])
+    # warm the transfer path BEFORE the big device_puts (pilot_main order;
+    # a large h2d as the session's first transfer has been seen to wedge)
     np.asarray(jax.jit(lambda: jnp.zeros(4, jnp.float32))())
-    stages = sys.argv[1:] or ["sync_train", "sync", "eq", "filter", None]
+    Er = jax.device_put(d["Er"]); Ei = jax.device_put(d["Ei"])
+    stages = argv or ["sync_train", "sync", "eq", "filter", None]
     kw = dict(os=2, M=M, nmodes=2, sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
               Ntaps=45, mu=(1e-3, 1e-3), Niter=30, cpe_avg=3,
-              frames=tuple(range(10)))
+              block_size=block_size, frames=tuple(range(nframes)))
     for st in stages:
         st = None if st in (None, "full") else st
         fwd = make_pilot_rx_chain(seq, ph, F, R, _stage=st, **kw)
