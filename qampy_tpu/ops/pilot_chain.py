@@ -338,15 +338,43 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
 
         def interp_uniform(ph_avg):
             """Linear interp over the uniform pilot grid, clamped at the
-            edges (jnp.interp semantics) — broadcast+reshape, gather-free."""
+            edges (jnp.interp semantics) — broadcast+reshape, gather-free.
+            Works for any leading batch dims (mode, [frame])."""
+            lead = ph_avg.shape[:-1]
             npts = ph_avg.shape[-1]
-            lo = ph_avg[:, :-1, None]
-            hi = ph_avg[:, 1:, None]
-            mid = (lo + (hi - lo) * wgt).reshape(nmodes, (npts - 1) * cpe_dx)
-            head = jnp.broadcast_to(ph_avg[:, :1], (nmodes, cpe_x0))
+            w1 = wgt.reshape((1,) * len(lead) + (1, cpe_dx))
+            lo = ph_avg[..., :-1, None]
+            hi = ph_avg[..., 1:, None]
+            mid = (lo + (hi - lo) * w1).reshape(*lead, (npts - 1) * cpe_dx)
+            head = jnp.broadcast_to(ph_avg[..., :1], lead + (cpe_x0,))
             tail_len = frame_len - cpe_x0 - (npts - 1) * cpe_dx
-            tail = jnp.broadcast_to(ph_avg[:, -1:], (nmodes, tail_len))
+            tail = jnp.broadcast_to(ph_avg[..., -1:], lead + (tail_len,))
             return jnp.concatenate([head, mid, tail], axis=-1)
+
+        def cpe_frames(sym):
+            """Pilot CPE batched over (nmodes, nframes, frame_len) — the
+            same per-frame math as ``do_frame`` below, vectorised."""
+            nf = sym.shape[1]
+            if blocked_cpe:
+                tail = sym[:, :, seq_len:].reshape(nmodes, nf, nblk_cpe,
+                                                   pilot_ins_rat)
+                rec_pil = tail[:, :, :, 0]
+            else:
+                rec_pil = sym[:, :, ph_idx_d]
+            res_ph = jnp.unwrap(jnp.angle(jnp.conj(pil_c)[:, None]
+                                          * rec_pil), axis=-1)
+            z = jnp.zeros((nmodes, nf, 1), res_ph.dtype)
+            cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
+            ph_avg = (cs[..., cpe_avg:] - cs[..., :-cpe_avg]) / cpe_avg
+            trace = interp_uniform(ph_avg)
+            out = sym * jnp.exp(-1j * trace).astype(sym.dtype)
+            if blocked_cpe:
+                tl = out[:, :, seq_len:].reshape(nmodes, nf, nblk_cpe,
+                                                 pilot_ins_rat)
+                dat = tl[:, :, :, 1:].reshape(nmodes, nf, -1)
+            else:
+                dat = out[:, :, dat_idx_d]
+            return dat, trace
         def do_frame(_, base):
             """Demodulate one frame at capture offset ``base`` (traced)."""
             fsegs = jnp.stack([lax.dynamic_slice(E2, (0, eqsh[i] + base),
@@ -380,6 +408,34 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
 
         bases = (jnp.asarray([int(f) * frame_len * os for f in frames])
                  + _frame_base)
+        span_ok = (len(frames) > 2 and tuple(frames) == tuple(
+            range(int(frames[0]), int(frames[0]) + len(frames))))
+        if frames_mode == "span" and span_ok:
+            # hoist the filter OUT of the frame loop: frames are contiguous
+            # and the taps are frozen, so one windows-batched contraction
+            # per output mode covers the whole multi-frame span (identical
+            # window indices to the per-frame slices), then the CPE runs
+            # frame-batched. Removes the per-iteration scan overhead and
+            # the per-frame kernel launches entirely.
+            nfp = len(frames)
+            span = nfp * frame_len * os + Ntaps - 1
+            base0 = int(frames[0]) * frame_len * os + _frame_base
+            sym_all = jnp.concatenate([
+                eqops.apply_filter_to_signal(
+                    lax.dynamic_slice(E2, (0, eqsh[i] + base0),
+                                      (nmodes, span)), os, taps[i:i + 1])
+                for i in range(nmodes)], axis=0)      # (nmodes, nfp*F)
+            if _stage == "filter":
+                return jnp.sum(jnp.abs(sym_all)), {}
+            dat_b, trace_b = cpe_frames(
+                sym_all.reshape(nmodes, nfp, frame_len))
+            data = dat_b.reshape(nmodes, -1)
+            info = {"shift": shift, "sync_corr": sync_corr,
+                    "foe": foe_coarse + foe_pil,
+                    "mode_order": mode_order}
+            if return_phase:
+                info["phase"] = trace_b.reshape(nmodes, -1)
+            return data, info
         if len(frames) > 2:
             # one traced frame body regardless of frame count (an unrolled
             # loop at 20 frames took XLA tens of minutes to compile):

@@ -105,6 +105,30 @@ class TestFusedPilotChain:
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 1e-3), ser
 
+    def test_span_mode_matches_scan(self):
+        """frames_mode="span" (filter hoisted out of the frame loop, CPE
+        frame-batched) must agree with the per-frame scan to float
+        tolerance (the hoisted filter sums in a different lowering)."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=6, nmodes=2,
+                                  fb=24e9, seed=9)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(11))
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3,
+                  frames=(0, 1, 2, 3))
+        args = (np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+                sig.frame_len, sig.pilot_ins_rat)
+        E = jnp.asarray(s2.samples)
+        d0, i0 = jax.jit(make_pilot_rx_chain(*args, **kw))(E)
+        d1, i1 = jax.jit(make_pilot_rx_chain(*args, frames_mode="span",
+                                             **kw))(E)
+        assert d1.shape == d0.shape
+        np.testing.assert_allclose(np.asarray(jnp.abs(d0 - d1)), 0,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(i0["phase"]),
+                                   np.asarray(i1["phase"]), atol=1e-4)
+
     def test_frame_parallel_mesh(self):
         """Frame-data-parallel demodulation over the 8-device mesh:
         sync/training replicated, each device demodulates its own frames

@@ -72,7 +72,12 @@ def main():
         ("nophase", dict(return_phase=False)),
         ("nophase+unroll4", dict(return_phase=False, frames_unroll=4)),
         ("nophase+unroll8", dict(return_phase=False, frames_unroll=8)),
+        ("span", dict(frames_mode="span")),
+        ("span+nophase", dict(frames_mode="span", return_phase=False)),
     ]
+    if len(sys.argv) > 3:  # run only the named variants
+        names = set(sys.argv[3].split(","))
+        variants = [v for v in variants if v[0] in names]
     for name, extra in variants:
         fwd = make_pilot_rx_chain(seq, ph, F, R, **{**kw, **extra})
 
