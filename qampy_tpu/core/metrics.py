@@ -157,7 +157,18 @@ def norm_to_s0(sig, M):
 
 
 def _cal_gamma(M):
-    """Gamma factor for the blind SNR estimator (reference core/signal_quality.py:227-231)."""
+    """Gamma factor for the blind SNR estimator (reference core/signal_quality.py:227-231).
+
+    The reference is also called with non-constellation M (partition_16qam
+    passes M=1.32, core/phaserecovery.py:319): there qampy's
+    ``cal_symbols_qam`` degenerates to a single normalised point so the
+    formula collapses to gamma = 1/M — accidental but load-bearing (1/1.32
+    is the Muller-Mello ring constant). Reproduce that explicitly instead
+    of dividing by a zero scaling factor.
+    """
+    f = float(M)
+    if not (f.is_integer() and f >= 4 and np.log2(f).is_integer()):
+        return 1.0 / f
     A = np.abs(cal_symbols_qam(M)) / np.sqrt(cal_scaling_factor_qam(M))
     uniq, counts = np.unique(A, return_counts=True)
     return np.sum(uniq ** 4 * counts / M)
