@@ -409,3 +409,102 @@ class TestPhaseRecoveryAux:
             want_c = ref_pr.comp_freq_offset(sig, want, os=1)
             got_c = np.asarray(phops.comp_freq_offset(sig, got, os=1))
             np.testing.assert_allclose(got_c, want_c, rtol=1e-8, atol=1e-9)
+
+
+class TestSyncFunctions:
+    """core/sync.py vs reference core/ber_functions.py on identical inputs."""
+
+    def _pair(self, L=4000, off=137, seed=31):
+        rng = np.random.default_rng(seed)
+        const = (np.asarray(theory.cal_symbols_qam(4))
+                 / np.sqrt(float(theory.cal_scaling_factor_qam(4)))
+                 ).astype(np.complex128)
+        tx = const[rng.integers(0, 4, L)]
+        rx = np.roll(tx, off) + 0.01 * (rng.standard_normal(L)
+                                        + 1j * rng.standard_normal(L))
+        return tx, rx
+
+    def test_find_sequence_offset(self):
+        from qampy.core import ber_functions as ref_bf
+        from qampy_tpu.core import sync
+        with jax.enable_x64():
+            tx, rx = self._pair()
+            want = ref_bf.find_sequence_offset(tx, rx)
+            got = int(np.asarray(sync.find_sequence_offset(tx, rx)))
+            assert got == want
+
+    @pytest.mark.parametrize("rot", [0, 1, 2, 3])
+    def test_find_sequence_offset_complex(self, rot):
+        from qampy.core import ber_functions as ref_bf
+        from qampy_tpu.core import sync
+        with jax.enable_x64():
+            tx, rx = self._pair(seed=32 + rot)
+            rx = rx * 1j ** rot
+            want_off, want_rx, want_ii, want_acm = \
+                ref_bf.find_sequence_offset_complex(tx, rx)
+            got_off, got_rx, got_ii, got_acm = \
+                sync.find_sequence_offset_complex(tx, rx)
+            assert int(np.asarray(got_off)) == want_off
+            assert int(np.asarray(got_ii)) == want_ii
+            np.testing.assert_allclose(np.asarray(got_rx), want_rx,
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(float(np.asarray(got_acm)), want_acm,
+                                       rtol=1e-6)
+
+    @pytest.mark.parametrize("case", ["same", "tx_longer", "rx_longer"])
+    def test_sync_and_adjust(self, case):
+        from qampy.core import ber_functions as ref_bf
+        from qampy_tpu.core import sync
+        with jax.enable_x64():
+            tx, rx = self._pair(L=3000, off=77, seed=41)
+            if case == "tx_longer":
+                tx = np.concatenate([tx, tx[:500]])
+            elif case == "rx_longer":
+                rx = np.concatenate([rx, rx[:700]])
+            for adjust in ("tx", "rx"):
+                want_tx, want_rx = ref_bf.sync_and_adjust(tx, rx,
+                                                          adjust=adjust)
+                got_tx, got_rx = sync.sync_and_adjust(tx, rx, adjust=adjust)
+                np.testing.assert_allclose(np.asarray(got_tx), want_tx,
+                                           rtol=1e-9, atol=1e-12,
+                                           err_msg="%s/%s tx" % (case, adjust))
+                np.testing.assert_allclose(np.asarray(got_rx), want_rx,
+                                           rtol=1e-9, atol=1e-12,
+                                           err_msg="%s/%s rx" % (case, adjust))
+
+
+class TestAnalogFrontend:
+    """core/analog_frontend.py vs the reference (plain numpy)."""
+
+    def test_comp_IQ_inbalance_and_orthonormalize(self):
+        from qampy.core import analog_frontend as ref_af
+        from qampy_tpu.core import analog_frontend as af
+        with jax.enable_x64():
+            rng = np.random.default_rng(51)
+            sig = (rng.standard_normal((2, 4096))
+                   + 1j * rng.standard_normal((2, 4096)))
+            sig = sig + 0.1 * sig.real  # introduce IQ imbalance + DC
+            # ours applies the compensation PER MODE; the reference's global
+            # np.sum mixes both modes' statistics (and mutates its input) —
+            # per-mode equals the reference applied to each 1-D mode
+            got = np.asarray(af.comp_IQ_inbalance(sig.copy()))
+            for m in range(2):
+                want_m = ref_af.comp_IQ_inbalance(sig[m].copy())
+                np.testing.assert_allclose(got[m], want_m,
+                                           rtol=1e-9, atol=1e-12)
+            want_o = ref_af.orthonormalize_signal(sig.copy(), os=1)
+            got_o = np.asarray(af.orthonormalize_signal(sig.copy(), os=1))
+            np.testing.assert_allclose(got_o, want_o, rtol=1e-9, atol=1e-12)
+
+
+class TestMovingAverage:
+    def test_moving_average(self):
+        from qampy.core import filter as ref_filter
+        from qampy_tpu.core import filter as filt
+        with jax.enable_x64():
+            rng = np.random.default_rng(61)
+            x = rng.standard_normal(999)
+            for N in (3, 9, 16):
+                want = ref_filter.moving_average(x, N=N)
+                got = np.asarray(filt.moving_average(x, N=N))
+                np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
