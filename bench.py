@@ -298,7 +298,7 @@ def pilot_main(path, nframes_proc, gate_ber):
                               sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
                               Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                               cpe_avg=3, frames=frames, block_size=256,
-                              return_phase=False)
+                              return_phase=False, frames_unroll=4)
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
     nsym_payload = idx_tx.shape[-1] * idx_tx.shape[0]
