@@ -326,7 +326,14 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         if _stage == "eq":
             return jnp.sum(jnp.abs(taps)), {}
 
+        return _demod(E2, eqsh, taps, fdt, _frame_base, shift, sync_corr,
+                      foe_coarse, foe_pil, mode_order)
+
+    def _demod(E2, eqsh, taps, fdt, _frame_base, shift, sync_corr,
+               foe_coarse, foe_pil, mode_order):
         # ---- 3+4. filter + pilot CPE per requested frame -----------------
+        # shared by the full chain (after sync+training) and the tracking
+        # warm-start entry point below
         fr_len = frame_len * os + Ntaps - 1
         if foe_comp:
             t = jnp.arange(1, E2.shape[-1] + 1, dtype=fdt)
@@ -431,7 +438,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                 sym_all.reshape(nmodes, nfp, frame_len))
             data = dat_b.reshape(nmodes, -1)
             info = {"shift": shift, "sync_corr": sync_corr,
-                    "foe": foe_coarse + foe_pil,
+                    "foe": foe_coarse + foe_pil, "taps": taps,
                     "mode_order": mode_order}
             if return_phase:
                 info["phase"] = trace_b.reshape(nmodes, -1)
@@ -458,12 +465,39 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             return jnp.sum(jnp.abs(data_f)), {}
         data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
         info = {"shift": shift, "sync_corr": sync_corr,
-                "foe": foe_coarse + foe_pil,
+                "foe": foe_coarse + foe_pil, "taps": taps,
                 "mode_order": mode_order}
         if return_phase:
             info["phase"] = jnp.moveaxis(traces_f, 0, 1).reshape(nmodes, -1)
         return data, info
 
+    def forward_tracking(E, wxy, shift, mode_order=None, _frame_base=0):
+        """Warm-start (tracking) serving entry: demodulate frames with
+        taps/shift from a previous dispatch, skipping frame sync and the
+        two-stage pilot training entirely (zero fixed prefix).
+
+        ``wxy`` is the (nmodes, nmodes, Ntaps) tap array and ``shift`` the
+        per-mode frame offsets — exactly ``info["taps"]``/``info["shift"]``
+        of a previous ``forward`` call (keep them on device; complex taps
+        must not cross the axon tunnel). ``mode_order`` permutes the
+        capture's modes first when the previous dispatch found a swap.
+        This is the steady-state pattern the reference reaches with
+        ``wxinit=`` warm-starting across frames
+        (qampy/equalisation.py:386-388). ``foe_comp`` is not applied here
+        (compensate the capture up front if a frequency offset persists);
+        ``info["sync_corr"]`` is +inf to mark sync-not-run."""
+        fdt = E.real.dtype
+        E2 = E if mode_order is None else E[jnp.asarray(mode_order)]
+        shift = jnp.asarray(shift, jnp.int32)
+        eqsh = shift - tap_corr
+        eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
+        z = jnp.zeros((), fdt)
+        mo = (jnp.arange(nmodes) if mode_order is None
+              else jnp.asarray(mode_order))
+        return _demod(E2, eqsh, jnp.asarray(wxy), fdt, _frame_base, shift,
+                      jnp.array(np.inf, fdt), z, z, mo)
+
+    forward.tracking = forward_tracking
     forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),
                             "methods": tuple(methods),
                             "trainer": "block(xla, vmapped)"}

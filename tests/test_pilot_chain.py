@@ -154,6 +154,27 @@ class TestFusedPilotChain:
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 1e-3), ser
 
+    def test_tracking_warm_start(self):
+        """forward.tracking (taps/shift from a previous dispatch, sync and
+        training skipped) must reproduce the full chain bit-exactly."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=6, nmodes=2,
+                                  fb=24e9, seed=3)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.7, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(5))
+        E = jnp.asarray(s2.samples)
+        fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
+                                  np.asarray(sig.ph_pilots),
+                                  sig.frame_len, sig.pilot_ins_rat,
+                                  os=2, M=64, nmodes=2, Ntaps=17, Niter=30,
+                                  cpe_avg=3, frames=(0, 1, 2, 3))
+        d0, i0 = jax.jit(fwd)(E)
+        d1, i1 = jax.jit(fwd.tracking)(E, i0["taps"], i0["shift"],
+                                       i0["mode_order"])
+        assert bool(jnp.all(d0 == d1))
+        assert np.isinf(float(i1["sync_corr"]))  # marks sync-not-run
+
     def test_backend_info(self):
         sig, _ = _make_sig()
         fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
