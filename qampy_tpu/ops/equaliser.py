@@ -653,17 +653,41 @@ def _reshape_symbols(symbols, method, M, dtype, nmodes):
     return symbols.astype(dtype)
 
 
+def _resolve_backend(backend, block_size):
+    """Resolve ``backend="auto"``/``block_size=None`` for the current device.
+
+    "auto" picks the exact sequential scan on CPU (bit-exact vs the
+    reference, and the scan is fast there) and the MXU block-LMS trainer on
+    an accelerator — mirroring the reference's philosophy of defaulting to
+    its fastest backend (pythran). ``block_size=None`` resolves to 32 for
+    the scan-exact regime and 128 on an accelerator (the fused chain's
+    block scale). Explicit values always win.
+    """
+    if backend == "auto":
+        import jax
+        backend = "seq" if jax.default_backend() == "cpu" else "block"
+    if block_size is None:
+        if backend in ("block", "pallas_block"):
+            import jax
+            block_size = 32 if jax.default_backend() == "cpu" else 128
+        else:
+            block_size = 32
+    return backend, block_size
+
+
 def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
                     method="mcma", adaptive_stepsize=False, symbols=None, modes=None,
-                    apply=False, backend="seq", block_size=32, **kwargs):
+                    apply=False, backend="auto", block_size=None, **kwargs):
     """Blind/data-aided adaptive equalisation of a (nmodes, L) signal.
 
     Parity: reference core/equalisation/equalisation.py:468-566.
-    ``backend`` selects the exact sequential scan ("seq") or the MXU
-    block-LMS ("block").
+    ``backend`` selects the exact sequential scan ("seq"), the MXU
+    block-LMS ("block"), the Pallas variants, or "auto" (the default):
+    seq on CPU, block on an accelerator — see ``_resolve_backend``.
     Returns (wxy, err) or (Eest, wxy, err) when apply=True.
     """
     method = method.lower()
+    backend, block_size = _resolve_backend(backend, block_size)
     E = jnp.asarray(E)
     real_valued = method in REAL_VALUED
     if real_valued:
@@ -720,7 +744,7 @@ def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
 def dual_mode_equalisation(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=(None, None),
                            Niter=(1, 1), methods=("mcma", "sbd"),
                            adaptive_stepsize=(False, False), symbols=None, modes=None,
-                           apply=True, backend="seq", **kwargs):
+                           apply=True, backend="auto", **kwargs):
     """Two-stage equalisation: stage-1 taps warm-start stage 2.
 
     Parity: reference core/equalisation/equalisation.py:400-466.

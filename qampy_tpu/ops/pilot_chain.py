@@ -417,6 +417,11 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                  + _frame_base)
         span_ok = (len(frames) > 2 and tuple(frames) == tuple(
             range(int(frames[0]), int(frames[0]) + len(frames))))
+        if frames_mode == "span" and not span_ok:
+            raise ValueError(
+                "frames_mode='span' needs >2 contiguous frames, got %r; "
+                "use frames_mode='scan' for arbitrary frame sets"
+                % (tuple(frames),))
         if frames_mode == "span" and span_ok:
             # hoist the filter OUT of the frame loop: frames are contiguous
             # and the taps are frozen, so one windows-batched contraction
@@ -438,7 +443,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                 sym_all.reshape(nmodes, nfp, frame_len))
             data = dat_b.reshape(nmodes, -1)
             info = {"shift": shift, "sync_corr": sync_corr,
-                    "foe": foe_coarse + foe_pil, "taps": taps,
+                    "foe": foe_coarse + foe_pil, "foe_pil": foe_pil,
+                    "taps": taps,
                     "mode_order": mode_order}
             if return_phase:
                 info["phase"] = trace_b.reshape(nmodes, -1)
@@ -465,13 +471,15 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             return jnp.sum(jnp.abs(data_f)), {}
         data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
         info = {"shift": shift, "sync_corr": sync_corr,
-                "foe": foe_coarse + foe_pil, "taps": taps,
+                "foe": foe_coarse + foe_pil, "foe_pil": foe_pil,
+                "taps": taps,
                 "mode_order": mode_order}
         if return_phase:
             info["phase"] = jnp.moveaxis(traces_f, 0, 1).reshape(nmodes, -1)
         return data, info
 
-    def forward_tracking(E, wxy, shift, mode_order=None, _frame_base=0):
+    def forward_tracking(E, wxy, shift, mode_order=None, foe=None,
+                         _frame_base=0):
         """Warm-start (tracking) serving entry: demodulate frames with
         taps/shift from a previous dispatch, skipping frame sync and the
         two-stage pilot training entirely (zero fixed prefix).
@@ -483,19 +491,33 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         capture's modes first when the previous dispatch found a swap.
         This is the steady-state pattern the reference reaches with
         ``wxinit=`` warm-starting across frames
-        (qampy/equalisation.py:386-388). ``foe_comp`` is not applied here
-        (compensate the capture up front if a frequency offset persists);
-        ``info["sync_corr"]`` is +inf to mark sync-not-run."""
+        (qampy/equalisation.py:386-388). When the chain was built with
+        ``foe_comp=True`` the frozen taps were trained on FOE-compensated
+        segments — pass the previous dispatch's ``info["foe"]`` as ``foe``
+        so the capture is derotated the same way (omitting it warns and
+        demodulates uncompensated). ``info["sync_corr"]`` is +inf to mark
+        sync-not-run."""
         fdt = E.real.dtype
+        if foe is not None and not foe_comp:
+            raise ValueError("foe= supplied but the chain was built with "
+                             "foe_comp=False (it would not be applied)")
+        if foe_comp and foe is None:
+            import warnings
+            warnings.warn(
+                "chain built with foe_comp=True but forward_tracking got no "
+                "foe=: the frozen taps were trained on FOE-compensated "
+                "segments while this capture is demodulated uncompensated; "
+                "pass the previous dispatch's info['foe']", stacklevel=2)
         E2 = E if mode_order is None else E[jnp.asarray(mode_order)]
         shift = jnp.asarray(shift, jnp.int32)
         eqsh = shift - tap_corr
         eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
         z = jnp.zeros((), fdt)
+        foe_t = z if foe is None else jnp.asarray(foe, fdt)
         mo = (jnp.arange(nmodes) if mode_order is None
               else jnp.asarray(mode_order))
         return _demod(E2, eqsh, jnp.asarray(wxy), fdt, _frame_base, shift,
-                      jnp.array(np.inf, fdt), z, z, mo)
+                      jnp.array(np.inf, fdt), z, foe_t, mo)
 
     forward.tracking = forward_tracking
     forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),

@@ -156,11 +156,13 @@ def shift_signal(sig, shift_factors):
 def equalize_pilot_sequence(rx_signal, ref_symbs, shift_fctrs, os, foe_comp=False,
                             mu=(1e-4, 1e-4), M_pilot=4, Ntaps=45, Niter=30,
                             adaptive_stepsize=True, methods=('cma', 'cma'),
-                            wxinit=None, backend="seq"):
+                            wxinit=None, backend="auto"):
     """Two-stage data-aided equalisation over the pilot sequence.
 
     Parity: reference core/pilotbased_receiver.py:454-554. Returns
-    (out_taps, foe_all).
+    (out_taps, foe_all). ``backend`` follows
+    ``ops.equaliser._resolve_backend`` ("auto" = exact scan on CPU, MXU
+    block trainer on an accelerator).
     """
     rx_signal = jnp.atleast_2d(jnp.asarray(rx_signal))
     ref_symbs = jnp.atleast_2d(jnp.asarray(ref_symbs))

@@ -6,5 +6,5 @@ over the waveform time axis with ``shard_map`` kernels that exchange
 filter/BPS halos over ICI (``ppermute``/``all_gather``) and reduce metrics
 with ``psum``.
 """
-from qampy_tpu.parallel.mesh import make_mesh, time_axis
+from qampy_tpu.parallel.mesh import init_distributed, make_mesh, time_axis
 from qampy_tpu.parallel import sharded

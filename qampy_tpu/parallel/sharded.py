@@ -230,10 +230,41 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     return chain_fn
 
 
-def shard_signal(E, mesh):
-    """Device_put a (nmodes, L) array sharded over the time axis."""
-    sharding = jax.sharding.NamedSharding(mesh, P(None, TIME))
+def shard_signal(E, mesh, spec=None):
+    """Build a (nmodes, L) global array sharded over the time axis.
+
+    Works in both single-process and multi-process (multi-controller)
+    mode: with >1 process each process materialises only its addressable
+    shards from the (identical) host array via
+    ``jax.make_array_from_callback``; single-process it is a plain
+    ``device_put``. ``spec`` overrides the default time sharding (pass
+    ``P()`` via :func:`replicate_signal` for broadcast inputs).
+    """
+    if spec is None:
+        spec = P(None, TIME)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        E = np.asarray(E)
+        return jax.make_array_from_callback(E.shape, sharding,
+                                            lambda idx: E[idx])
     return jax.device_put(E, sharding)
+
+
+def replicate_signal(E, mesh):
+    """Global fully-replicated array from an identical-per-process host array."""
+    return shard_signal(E, mesh, spec=P(*([None] * np.ndim(E))))
+
+
+def fetch_global(x, mesh):
+    """Host numpy copy of a (possibly multi-host-sharded) global array.
+
+    Re-shards to fully-replicated (an all-gather over the mesh), making
+    every shard addressable on every process, then fetches. This is the
+    multi-process-safe way to SER-gate a sharded chain's output.
+    """
+    rep = jax.jit(lambda v: v,
+                  out_shardings=jax.sharding.NamedSharding(mesh, P()))(x)
+    return np.asarray(rep)
 
 
 def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,

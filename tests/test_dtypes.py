@@ -1,14 +1,210 @@
 """Dtype support tests: complex64 default, complex128 under x64.
 
 Mirrors the reference's systematic dtype parametrisation
-(test/test_signalobject.py:948-1040, test/test_phaserec.py:106-122).
+(test/test_signalobject.py:948-1040, test/test_phaserec.py:106-122):
+every public wrapper preserves the input complex dtype (c64 in -> c64 out,
+c128 in -> c128 out) and the derived attributes (symbols, coded_symbols,
+pilots) carry it too.
 """
+import contextlib
+
 import numpy as np
 import pytest
 import jax
+import jax.random as jr
 
 import qampy_tpu as qt
-from qampy_tpu import equalisation, impairments, phaserec
+from qampy_tpu import (analog_frontend, equalisation, filtering, helpers,
+                       impairments, phaserec, signals)
+
+
+@contextlib.contextmanager
+def _dtype_ctx(dt):
+    """complex128 needs the x64 context; complex64 runs as-is."""
+    if np.dtype(dt) == np.complex128:
+        with jax.enable_x64():
+            yield
+    else:
+        yield
+
+
+def _ck(arr, dt):
+    assert np.asarray(arr).dtype == np.dtype(dt), \
+        "expected %s got %s" % (np.dtype(dt), np.asarray(arr).dtype)
+
+
+def _real_of(dt):
+    return np.float64 if np.dtype(dt) == np.complex128 else np.float32
+
+
+DTYPES = [np.complex64, np.complex128]
+
+
+@pytest.mark.parametrize("dt", DTYPES)
+class TestDtypeContracts:
+    """Output-dtype preservation across the public API (VERDICT r2 #6)."""
+
+    def _sig(self, dt, M=32, N=2 ** 10, nmodes=2, seed=1):
+        return signals.SignalQAMGrayCoded(M, N, nmodes=nmodes, fb=25e9,
+                                          dtype=dt, seed=seed)
+
+    def test_signal_construction(self, dt):
+        with _dtype_ctx(dt):
+            s = self._sig(dt)
+            _ck(s, dt)
+            _ck(s.symbols, dt)
+            _ck(s.coded_symbols, dt)
+
+    def test_from_symbol_array(self, dt):
+        with _dtype_ctx(dt):
+            s = self._sig(dt)
+            ss = signals.SignalQAMGrayCoded.from_symbol_array(s, M=32)
+            _ck(ss, dt)
+            _ck(ss.symbols, dt)
+
+    def test_from_bit_array(self, dt):
+        with _dtype_ctx(dt):
+            b = signals.make_prbs_extXOR(15, 2 ** 12)
+            s = signals.SignalQAMGrayCoded.from_bit_array(b, 16, dtype=dt)
+            _ck(s, dt)
+            _ck(s.symbols, dt)
+            _ck(s.coded_symbols, dt)
+
+    def test_resample(self, dt):
+        with _dtype_ctx(dt):
+            s = self._sig(dt)
+            up = s.resample(2 * s.fb, beta=0.2, renormalise=True)
+            _ck(up, dt)
+            _ck(up.symbols, dt)
+
+    def test_make_decision(self, dt):
+        with _dtype_ctx(dt):
+            s = self._sig(dt)
+            n = impairments.change_snr(s, 30, key=jr.PRNGKey(0))
+            _ck(n, dt)
+            _ck(n.make_decision(), dt)
+
+    def test_impairments(self, dt):
+        with _dtype_ctx(dt):
+            up = self._sig(dt).resample(2 * 25e9, beta=0.2)
+            _ck(impairments.apply_PMD(up, np.pi / 5, 1e-12), dt)
+            _ck(impairments.apply_phase_noise(up, 1e4, key=jr.PRNGKey(1)), dt)
+            _ck(impairments.add_dispersion(up, 1e-5, 1e3), dt)
+            _ck(impairments.simulate_transmission(
+                up, snr=30, freq_off=1e6, lwdth=1e4, dgd=1e-12,
+                key=jr.PRNGKey(2)), dt)
+
+    def test_helpers(self, dt):
+        with _dtype_ctx(dt):
+            n = impairments.change_snr(self._sig(dt), 30, key=jr.PRNGKey(0))
+            _ck(helpers.normalise_and_center(n), dt)
+            _ck(helpers.rescale_signal(n), dt)
+
+    def test_analog_frontend(self, dt):
+        with _dtype_ctx(dt):
+            up = self._sig(dt).resample(2 * 25e9, beta=0.2)
+            _ck(analog_frontend.comp_IQ_inbalance(up), dt)
+            _ck(analog_frontend.orthonormalize_signal(up), dt)
+
+    @pytest.mark.parametrize("ftype", ["bessel", "gauss"])
+    def test_filtering(self, dt, ftype):
+        with _dtype_ctx(dt):
+            up = self._sig(dt).resample(2 * 25e9, beta=0.2)
+            _ck(filtering.filter_signal(up, 0.7 * 25e9, ftype=ftype), dt)
+
+    def test_pulseshaping_moving_average(self, dt):
+        with _dtype_ctx(dt):
+            up = self._sig(dt).resample(2 * 25e9, beta=0.2)
+            _ck(filtering.rrcos_pulseshaping(up, 0.2), dt)
+            _ck(filtering.moving_average(up, 3), dt)
+
+    def test_bps(self, dt):
+        with _dtype_ctx(dt):
+            n = impairments.change_snr(self._sig(dt), 30, key=jr.PRNGKey(0))
+            s2, ph = phaserec.bps(n * np.exp(1.j * np.pi / 5), 32, 10,
+                                  method="pyt")
+            _ck(s2, dt)
+            _ck(ph, _real_of(dt))
+
+    def test_bps_twostage(self, dt):
+        with _dtype_ctx(dt):
+            n = impairments.change_snr(self._sig(dt), 30, key=jr.PRNGKey(0))
+            s2, ph = phaserec.bps_twostage(n * np.exp(1.j * np.pi / 5), 32,
+                                           10, method="pyt")
+            _ck(s2, dt)
+            _ck(ph, _real_of(dt))
+
+    def test_viterbiviterbi(self, dt):
+        with _dtype_ctx(dt):
+            s = signals.SignalPSKGrayCoded(4, 2 ** 10, nmodes=2, dtype=dt,
+                                           seed=2)
+            vv, ph = phaserec.viterbiviterbi(s, 11)
+            _ck(vv, dt)
+
+    def test_freq_offset(self, dt):
+        with _dtype_ctx(dt):
+            n = impairments.change_snr(self._sig(dt), 30, key=jr.PRNGKey(0))
+            fo = phaserec.find_freq_offset(n)
+            _ck(phaserec.comp_freq_offset(n, fo), dt)
+
+    def test_equalise_signal(self, dt):
+        with _dtype_ctx(dt):
+            up = self._sig(dt).resample(2 * 25e9, beta=0.2)
+            n = impairments.change_snr(up, 30, key=jr.PRNGKey(3))
+            E, w, err = equalisation.equalise_signal(n, 1e-3, Ntaps=11,
+                                                     method="cma", apply=True)
+            _ck(E, dt)
+            _ck(w, dt)
+            _ck(E.symbols, dt)
+
+    def test_dual_mode_equalisation(self, dt):
+        with _dtype_ctx(dt):
+            up = self._sig(dt).resample(2 * 25e9, beta=0.2)
+            n = impairments.change_snr(up, 30, key=jr.PRNGKey(3))
+            E, w, errs = equalisation.dual_mode_equalisation(
+                n, (1e-3, 1e-3), 11, methods=("mcma", "sbd"))
+            _ck(E, dt)
+            _ck(w, dt)
+
+    @pytest.mark.parametrize("nframes", [1, 2])
+    def test_pilot_signal(self, dt, nframes):
+        with _dtype_ctx(dt):
+            ps = signals.SignalWithPilots(32, 2 ** 12, 256, 32,
+                                          nframes=nframes, nmodes=2,
+                                          dtype=dt, seed=4)
+            _ck(ps, dt)
+            _ck(ps.pilots, dt)
+            _ck(ps.symbols, dt)
+            _ck(ps.get_data(), dt)
+
+    def test_pilot_signal_from_data(self, dt):
+        with _dtype_ctx(dt):
+            s = self._sig(dt)
+            ps = signals.SignalWithPilots.from_symbol_array(s, 2 ** 10, 256,
+                                                            32, nframes=1)
+            _ck(ps, dt)
+            _ck(ps.pilots, dt)
+
+    def test_tdhqam(self, dt):
+        with _dtype_ctx(dt):
+            td = signals.TDHQAMSymbols((64, 128), 2 ** 10, dtype=dt, seed=5)
+            _ck(td, dt)
+            _ck(td._symbols_M1, dt)
+            _ck(td._symbols_M2, dt)
+            t1 = signals.SignalQAMGrayCoded(64, 2 ** 10, dtype=dt, seed=6)
+            t2 = signals.SignalQAMGrayCoded(32, 2 ** 10, dtype=dt, seed=7)
+            _ck(signals.TDHQAMSymbols.from_symbol_arrays(t1, t2, 0.5), dt)
+
+    @pytest.mark.parametrize("N", [0, 40])
+    def test_sync_and_adjust(self, dt, N):
+        with _dtype_ctx(dt):
+            from qampy_tpu.core import sync
+            s = self._sig(dt)
+            s2 = np.roll(np.asarray(s)[0], 102)
+            s2 = s2[: -N or None]
+            (tx, rx), acm = sync.sync_and_adjust(np.asarray(s.symbols)[0], s2)
+            _ck(tx, dt)
+            _ck(rx, dt)
 
 
 class TestComplex64:

@@ -265,3 +265,28 @@ class TestKnownLimits:
             adaptive_stepsize=(True, True))
         ser = np.asarray(sout.cal_ser())
         assert np.all(ser < 1.01 * 4 / 2 ** 16)
+
+
+class TestBackendAuto:
+    """backend="auto" resolution (VERDICT r2 #5): seq on CPU, block on an
+    accelerator; block_size=None resolves per backend/device."""
+
+    def test_auto_resolves_seq_on_cpu(self):
+        from qampy_tpu.ops.equaliser import _resolve_backend
+        assert _resolve_backend("auto", None) == ("seq", 32)
+        assert _resolve_backend("block", None)[0] == "block"
+        assert _resolve_backend("seq", 64) == ("seq", 64)
+
+    def test_auto_matches_seq_on_cpu(self):
+        """On the CPU test backend, the default path IS the exact scan."""
+        import jax.random as jr
+        fb = 25e9
+        s = signals.SignalQAMGrayCoded(16, 2 ** 12, nmodes=2, fb=fb, seed=3)
+        s = s.resample(2 * fb, beta=0.1)
+        s = impairments.change_snr(s, 25, key=jr.PRNGKey(3))
+        w_auto, e_auto = equalisation.equalise_signal(s, 1e-3, Ntaps=11,
+                                                      method="mcma")
+        w_seq, e_seq = equalisation.equalise_signal(s, 1e-3, Ntaps=11,
+                                                    method="mcma",
+                                                    backend="seq")
+        np.testing.assert_array_equal(np.asarray(w_auto), np.asarray(w_seq))

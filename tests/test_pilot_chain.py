@@ -182,3 +182,63 @@ class TestFusedPilotChain:
                                   sig.frame_len, sig.pilot_ins_rat)
         assert "trainer" in fwd.backend_info
         assert fwd.backend_info["methods"] == ("cma", "cma")
+
+    def test_span_mode_rejects_noncontiguous_frames(self):
+        """An unsatisfiable frames_mode='span' request must raise instead
+        of silently falling back to the scan lowering (ADVICE r2)."""
+        sig, s2 = _make_sig()
+        args = (np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+                sig.frame_len, sig.pilot_ins_rat)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30)
+        fwd = make_pilot_rx_chain(*args, frames=(0, 2, 3, 5),
+                                  frames_mode="span", **kw)
+        with pytest.raises(ValueError, match="contiguous"):
+            jax.jit(fwd)(jnp.asarray(s2.samples))
+        # too few frames is equally unsatisfiable
+        fwd2 = make_pilot_rx_chain(*args, frames=(0, 1),
+                                   frames_mode="span", **kw)
+        with pytest.raises(ValueError, match="contiguous"):
+            jax.jit(fwd2)(jnp.asarray(s2.samples))
+
+    def test_tracking_foe_contract(self):
+        """forward_tracking: foe= on a foe_comp=False chain raises; a
+        foe_comp=True chain without foe= warns (frozen taps were trained
+        on FOE-compensated segments) (ADVICE r2)."""
+        sig, s2 = _make_sig()
+        args = (np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+                sig.frame_len, sig.pilot_ins_rat)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30)
+        E = jnp.asarray(s2.samples)
+        w = jnp.zeros((2, 2, 17), jnp.complex64)
+        sh = jnp.zeros((2,), jnp.int32)
+        fwd = make_pilot_rx_chain(*args, foe_comp=False, **kw)
+        with pytest.raises(ValueError, match="foe_comp=False"):
+            fwd.tracking(E, w, sh, foe=0.01)
+        fwd_foe = make_pilot_rx_chain(*args, foe_comp=True, **kw)
+        with pytest.warns(UserWarning, match="FOE-compensated"):
+            fwd_foe.tracking(E, w, sh)
+        # with foe= supplied: no warning
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            d, info = fwd_foe.tracking(E, w, sh, foe=0.0)
+
+    def test_tracking_foe_roundtrip(self):
+        """tracking with the previous dispatch's info['foe_pil'] matches
+        the full foe_comp chain bit-exactly on the same taps."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=6, nmodes=2,
+                                  fb=24e9, seed=3)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, lwdth=20e3, freq_off=20e6,
+            roll_frame_sync=True, key=jr.PRNGKey(5))
+        E = jnp.asarray(s2.samples)
+        fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
+                                  np.asarray(sig.ph_pilots),
+                                  sig.frame_len, sig.pilot_ins_rat,
+                                  os=2, M=64, nmodes=2, Ntaps=17, Niter=30,
+                                  cpe_avg=3, frames=(0, 1, 2), foe_comp=True)
+        d0, i0 = jax.jit(fwd)(E)
+        d1, i1 = jax.jit(fwd.tracking)(E, i0["taps"], i0["shift"],
+                                       i0["mode_order"], foe=i0["foe_pil"])
+        assert bool(jnp.all(d0 == d1))

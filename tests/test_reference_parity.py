@@ -169,6 +169,109 @@ class TestBPS:
         np.testing.assert_allclose(np.asarray(phops.select_angles(angles, idx)),
                                    ref_dsp.select_angles(angles, idx))
 
+    @staticmethod
+    def _ref_twostage(E, A, const, N, B):
+        """Faithful composition of reference bps_twostage
+        (core/phaserecovery.py:222-288) from the reference's own kernels.
+        The interpreted ref_dsp.bps asserts per-sample angle rows, so the
+        shared stage-1 grid is tiled (identical semantics — see
+        test_bps_idx_elementwise)."""
+        angles = np.linspace(-np.pi / 4, np.pi / 4, A, endpoint=False,
+                             dtype=E.real.dtype).reshape(1, -1)
+        L = E.shape[0]
+        idx = ref_dsp.bps(E.copy(), np.tile(angles, (L, 1)), const.copy(), N)
+        ph = ref_dsp.select_angles(np.tile(angles, (L, 1)).copy(),
+                                   idx.astype(np.int32))
+        b = np.linspace(-B / 2, B / 2, B)
+        phn = (ph[:, None]
+               + b[None, :] / (B * A) * np.pi / 2).astype(E.real.dtype)
+        idx2 = ref_dsp.bps(E.copy(), phn, const.copy(), N)
+        phf = ref_dsp.select_angles(phn.copy(), idx2.astype(np.int32))
+        return np.unwrap(phf * 4) / 4, phf
+
+    def test_bps_twostage_elementwise(self):
+        """XLA bps_twostage vs the reference two-stage composition
+        (core/phaserecovery.py:222-288), element-wise exact (VERDICT r2 #4)."""
+        with jax.enable_x64():
+            rng = np.random.default_rng(2)
+            M, L, A, N, B = 64, 1024, 16, 8, 4
+            const = (np.asarray(theory.cal_symbols_qam(M))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(M)))
+                     ).astype(np.complex128)
+            syms = const[rng.integers(0, M, L)]
+            E = syms * np.exp(1j * 0.1 * np.sin(np.arange(L) / 50))
+            E += 0.02 * (rng.standard_normal(L)
+                         + 1j * rng.standard_normal(L))
+            ph_ref, _ = self._ref_twostage(E, A, const, N, B)
+            _, ph_x = phops.bps_twostage(E, A, const, N, B=B, method="pyt")
+            np.testing.assert_allclose(np.asarray(ph_x), ph_ref,
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_bps_twostage_pallas_elementwise(self):
+        """Pallas fused two-stage (default N1=N coarse window) vs the
+        reference composition: agrees to f32 rounding."""
+        rng = np.random.default_rng(5)
+        M, L, A, N, B = 16, 2048, 16, 8, 4
+        const = (np.asarray(theory.cal_symbols_qam(M))
+                 / np.sqrt(float(theory.cal_scaling_factor_qam(M)))
+                 ).astype(np.complex64)
+        syms = const[rng.integers(0, M, L)]
+        ph_true = np.cumsum(0.004 * rng.standard_normal(L))
+        E = (syms * np.exp(1j * ph_true)).astype(np.complex64)
+        E += (0.02 * (rng.standard_normal(L)
+                      + 1j * rng.standard_normal(L))).astype(np.complex64)
+        _, phf_ref = self._ref_twostage(E.astype(np.complex128), A,
+                                        const.astype(np.complex128), N, B)
+        from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
+        grid = phops.detect_grid(jnp.asarray(const))
+        phf = np.asarray(bps_phase_twostage_pallas(
+            jnp.asarray(E)[None], A, B, grid, N, T=512, interpret=True))[0]
+        sl = slice(2 * N, L - 2 * N)
+        np.testing.assert_allclose(phf[sl], phf_ref[sl], atol=1e-6)
+
+    def test_bps_twostage_pallas_wide_coarse_deviation(self):
+        """Documented deviation: the shipped Pallas two-stage widens ONLY
+        the coarse averaging window (N1=60 vs the reference's N) to
+        suppress coarse-stage cycle slips (docs/PERFORMANCE.md: 10x fewer
+        slips at zero kernel cost). The fine stage keeps the reference
+        window, so the output may differ from the reference composition by
+        at most ~one coarse step (the fine grid re-centres around a
+        different coarse pick) and both decide the TX symbols exactly on a
+        benign channel."""
+        rng = np.random.default_rng(5)
+        M, L, A, N, B, N1 = 16, 3072, 16, 8, 4, 60
+        const = (np.asarray(theory.cal_symbols_qam(M))
+                 / np.sqrt(float(theory.cal_scaling_factor_qam(M)))
+                 ).astype(np.complex64)
+        syms = const[rng.integers(0, M, L)]
+        ph_true = np.cumsum(0.004 * rng.standard_normal(L))
+        E = (syms * np.exp(1j * ph_true)).astype(np.complex64)
+        E += (0.01 * (rng.standard_normal(L)
+                      + 1j * rng.standard_normal(L))).astype(np.complex64)
+        _, phf_ref = self._ref_twostage(E.astype(np.complex128), A,
+                                        const.astype(np.complex128), N, B)
+        from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
+        grid = phops.detect_grid(jnp.asarray(const))
+        phf_w = np.asarray(bps_phase_twostage_pallas(
+            jnp.asarray(E)[None], A, B, grid, N, T=512, interpret=True,
+            N1=N1))[0]
+        sl = slice(2 * N1, L - 2 * N1)
+        coarse_step = np.pi / 2 / A
+        # deviation attributable to the coarse stage only
+        assert np.all(np.abs(phf_w[sl] - phf_ref[sl]) <= 1.5 * coarse_step)
+        # both variants fully recover the symbols on this channel: the
+        # derotated signals decide to the same nearest points (up to the
+        # pi/2 ambiguity handled identically downstream)
+        for phf in (phf_ref, phf_w):
+            out = E[sl] * np.exp(1j * phf[sl])
+            d = np.abs(out[:, None] - const[None, :])
+            dec = const[np.argmin(d, axis=-1)]
+            tx = syms[sl] * np.exp(1j * (phf[sl] + ph_true[sl]))
+            dtx = np.abs(tx[:, None] - const[None, :])
+            dectx = const[np.argmin(dtx, axis=-1)]
+            ser = np.mean(dec != dectx)
+            assert ser == 0.0, ser
+
 
 class TestLLRDemappers:
     def _setup(self):

@@ -72,11 +72,17 @@ def main(M=32, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
         def ref_idx(z):
             return decide_idx(z)
 
-        sers = []
-        for m in range(o.shape[0]):
+        # per-(output mode, ref mode) SER minimised over rotations/offsets,
+        # then the pol pairing restricted to PERMUTATIONS (mode0->a,
+        # mode1->b, a != b): a degenerate chain emitting the same pol on
+        # both outputs cannot pass by matching one reference twice
+        nm = o.shape[0]
+        ser_mr = []
+        for m in range(nm):
             decs = [decide_idx(o[m] * (1j ** rot)) for rot in range(4)]
-            cand = []
+            row = []
             for refm in range(ref.shape[0]):
+                cand = []
                 for off in (3, 4, 5):
                     rseg = jax.lax.dynamic_slice(ref, (refm, 200 + off),
                                                  (1, L))[0]
@@ -84,8 +90,12 @@ def main(M=32, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
                     for dec in decs:
                         cand.append(jnp.mean((dec != ridx)
                                              .astype(jnp.float32)))
-            sers.append(jnp.min(jnp.stack(cand)))
-        return jnp.mean(jnp.stack(sers))
+                row.append(jnp.min(jnp.stack(cand)))
+            ser_mr.append(row)
+        import itertools
+        perms = [jnp.mean(jnp.stack([ser_mr[m][p[m]] for m in range(nm)]))
+                 for p in itertools.permutations(range(nm))]
+        return jnp.min(jnp.stack(perms))
 
     Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
     Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
