@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from qampy_tpu.core import impairments as cimpairments
 # module-namespace parity with reference qampy/impairments.py:20
-from qampy_tpu.core.impairments import rotate_field, add_awgn, add_modal_delay as _core_add_modal_delay
+from qampy_tpu.core.impairments import rotate_field, add_modal_delay as _core_add_modal_delay
 from qampy_tpu.signals import Signal, SignalWithPilots
 
 
@@ -25,6 +25,19 @@ def _rewrap(sig, arr):
 
 def _samples(sig):
     return sig.samples if isinstance(sig, Signal) else jnp.asarray(sig)
+
+
+def add_awgn(sig, strgth, key=None):
+    """Add AWGN of given standard deviation, object-preserving.
+
+    Parity: reference qampy/impairments.py:20 re-exports the core
+    ``add_awgn`` whose ndarray-subclass passthrough keeps the signal
+    object; the pytree analogue rewraps explicitly (the notebook
+    workloads call this on signal objects, e.g. "constant ASE noise
+    model").
+    """
+    arr = cimpairments.add_awgn(_samples(sig), strgth, key=key)
+    return _rewrap(sig, arr)
 
 
 def apply_PMD(sig, theta, t_dgd):
