@@ -21,17 +21,32 @@ import time
 import numpy as np
 
 
-def make_tx(Nsym=2 ** 20, M=64, fb=25e9, seed=1):
-    """Host-side TX synthesis: 64-QAM, RRC 2x oversampling, phase noise,
-    AWGN at 35 dB, PMD. Pure numpy so the TPU only sees the RX workload."""
+def make_tx(Nsym=2 ** 20, M=64, fb=25e9, seed=1, const=None, probs=None):
+    """Host-side TX synthesis: QAM (or a caller-supplied ``const``
+    alphabet, optionally with non-uniform draw ``probs`` — probabilistic
+    shaping), RRC 2x oversampling, phase noise, AWGN at 35 dB, PMD.
+    Pure numpy so the TPU only sees the RX workload."""
     from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam, gray_code_qam
     rng = np.random.default_rng(seed)
-    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
+    if const is not None:
+        const = np.asarray(const).astype(np.complex64).reshape(-1)
+        M = const.shape[0]
+    else:
+        const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex64)
     g = gray_code_qam(M)
     u = np.zeros_like(g)
     u[g] = np.arange(M)
     coded = const  # power-normalised constellation in gray order
-    sym_idx = rng.integers(0, M, size=(2, Nsym))
+    if probs is not None:
+        probs = np.asarray(probs, dtype=np.float64)
+        probs = probs / probs.sum()
+        sym_idx = rng.choice(M, size=(2, Nsym), p=probs)
+        # shaped draws change the mean power; re-normalise the alphabet so
+        # the transmitted signal keeps unit symbol power
+        p_mean = np.sum(probs * np.abs(const) ** 2)
+        coded = (const / np.sqrt(p_mean)).astype(np.complex64)
+    else:
+        sym_idx = rng.integers(0, M, size=(2, Nsym))
     syms = coded[sym_idx]
     # zero-insertion upsample + RRC shaping (frequency domain)
     os = 2

@@ -76,7 +76,7 @@ def _resolve_pallas(pallas, ok, reasons, what="rx chain"):
 def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                   bps_angles=64, bps_N=14, block_size=256, TrSyms=None,
                   bps_mode="single", pallas=None, bps_tile=16384,
-                  bps_win="bf16", fuse_derot=True):
+                  bps_win="bf16", fuse_derot=True, symbols=None):
     """Build a jittable ``forward(E) -> E_rec`` blind RX chain.
 
     Parameters mirror the granular API: ``M`` QAM order (square grids take
@@ -89,6 +89,14 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     window accumulation) or "f32" (exact windowed sums). ``fuse_derot``
     runs the final pi/2-unwrap + derotation as one VMEM-resident Pallas
     pass on the Pallas paths (the XLA cumsum is log2(L) HBM passes).
+    ``symbols`` overrides the constellation with an arbitrary host complex
+    alphabet (geometric shaping, APSK, ...): decision-directed stages and
+    the BPS then search that alphabet — the reference's any-M path
+    (core/pythran_dsp.py:47-85). On TPU a general alphabet keeps a
+    partially fused chain: Pallas for the non-decision trainer stages, the
+    filter, the unrolled O(M) BPS decision (M <= 256) and the derotate;
+    the decision-directed trainer stage falls back to the XLA block
+    trainer (MXU matmul decisions).
     ``E`` is complex (nmodes, L) at ``os``
     samples/symbol; returns the equalised, derotated symbol sequence.
     """
@@ -102,23 +110,53 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     # constants stay host numpy arrays: embedding device arrays as jit
     # closure constants forces a device->host fetch during lowering, which
     # some transports (the axon TPU tunnel) do not support for complex dtypes
-    symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
-    symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
-    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
+    if symbols is not None:
+        const = np.asarray(symbols).astype(dtype).reshape(-1)
+        M = const.shape[0]
+        symbols1 = eqops._reshape_symbols(const.copy(), methods[0], M, dtype, 2)
+        symbols2 = eqops._reshape_symbols(const.copy(), methods[1], M, dtype, 2)
+    else:
+        symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
+        symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
+        const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
     grid = phops.detect_grid(const)
     angles_h = np.linspace(-np.pi / 4, np.pi / 4, bps_angles, endpoint=False,
                            dtype=np.float32)
     step_a, lo_a = float(np.pi / 2 / bps_angles), float(-np.pi / 4)
     win_dtype = jnp.bfloat16 if bps_win == "bf16" else None
-    # the fused kernels require a square-grid constellation and a method the
-    # block trainer implements; anything else (e.g. cross 32/128-QAM) falls
-    # back to the XLA kernels instead of tripping kernel asserts — with a
-    # warning when the caller explicitly asked for pallas
+    if phops.grid_decision_info(grid)[0] == "gen":
+        # the general-alphabet BPS "distance" is -max_k(2<z,s_k>-|s_k|^2):
+        # an affine score with an O(|z|^2) per-sample offset, unlike the
+        # near-zero squared distances of the analytic grids — bf16 window
+        # accumulation loses the inter-angle resolution there (measured
+        # SER 8e-4 vs 0 at 35 dB). Windowed sums stay f32 for gen.
+        win_dtype = None
+    # the fully fused kernels require a square-grid constellation and a
+    # method the block trainer implements; anything else (e.g. cross
+    # 32/128-QAM) falls back to the XLA kernels instead of tripping kernel
+    # asserts — with a warning when the caller explicitly asked for pallas.
+    # General (non-grid) alphabets keep a PER-STAGE fused chain: grid-free
+    # stages (non-decision trainers, filter, unrolled-gen BPS, derotate)
+    # stay Pallas, only the decision-directed trainer runs XLA.
     ok, reasons = pallas_eligibility(grid, methods)
-    pallas = _resolve_pallas(pallas, ok, reasons, what="rx chain")
+    kind = phops.grid_decision_info(grid)[0]
+    gen_ok = kind == "gen" and const.shape[0] <= 256
+    if ok:
+        pallas = _resolve_pallas(pallas, ok, reasons, what="rx chain")
+        pallas_gen = False
+    else:
+        pallas_gen = _resolve_pallas(pallas, gen_ok, reasons,
+                                     what="rx chain (general alphabet)")
+        pallas = False
+    from qampy_tpu.ops.equaliser_pallas import _BLOCK_ERRFNS
+
+    def _stage_pallas(method):
+        """Trainer backend per stage: Pallas where the method needs no
+        grid decision, XLA block trainer otherwise."""
+        return pallas or (pallas_gen and method in _BLOCK_ERRFNS)
 
     def _derotate(Eeq, ph):
-        if pallas and fuse_derot:
+        if (pallas or pallas_gen) and fuse_derot:
             # fused VMEM-resident unwrap+derotate: the XLA cumsum below is
             # log2(L) HBM passes (~0.27 ms at L=2^20); the kernel does one
             from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
@@ -148,11 +186,13 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         nmodes = E.shape[0]
         trs = (E.shape[-1] - Ntaps) // os if TrSyms is None else TrSyms
         w0 = jnp.asarray(eqops._init_taps(Ntaps, nmodes, nmodes, dtype))
-        if pallas:
-            from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
-            train = train_equaliser_block_pallas
-        else:
-            train = eqops.train_equaliser_block
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+
+        def train(E_, trs_, n_, os_, mu_, w_, syms_, method_, **kw):
+            t = (train_equaliser_block_pallas if _stage_pallas(method_)
+                 else eqops.train_equaliser_block)
+            return t(E_, trs_, n_, os_, mu_, w_, syms_, method_, **kw)
+
         _, w1, _ = train(E, trs, 1, os, mu, w0, symbols1,
                          methods[0], adaptive=True, block_size=block_size)
         _, w2, _ = train(E, trs, 1, os, mu, w1, symbols2,
@@ -162,10 +202,11 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         # SER gate verifies the end-to-end outcome stays exact)
         from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
                                                     pallas_filter_group)
-        filt_group = pallas_filter_group(os, Ntaps, nmodes) if pallas else 0
+        filt_group = (pallas_filter_group(os, Ntaps, nmodes)
+                      if (pallas or pallas_gen) else 0)
         dec = 8 if (bps_mode == "twostage-dec" and filt_group >= 8
                     and filt_group % 8 == 0) else None
-        if pallas and filt_group > 1:
+        if (pallas or pallas_gen) and filt_group > 1:
             # fused Pallas filter: windows + MXU + deinterleave in VMEM
             # (4.5x the XLA windows formulation, docs/PERFORMANCE.md)
             out_f = apply_filter_pallas(E, os, w2, dec_stride=dec)
@@ -195,7 +236,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             ph = bps_fine_pallas(Eeq, ph1, A1, 8, grid, bps_N, T=bps_tile,
                                  win_dtype=win_dtype)
             return _derotate(Eeq, ph)
-        if pallas and bps_mode.startswith("twostage"):
+        if (pallas or pallas_gen) and bps_mode.startswith("twostage"):
             # fused two-stage BPS: shared coarse grid + 8 per-sample fine
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)
             from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
@@ -212,7 +253,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             out, ph = phops.bps_twostage(Eeq, max(bps_angles // div, 16),
                                          const, bps_N, B=8)
             return out
-        if pallas:
+        if pallas or pallas_gen:
             from qampy_tpu.ops.phase_pallas import bps_idx_pallas
             # bf16 window accumulation: ~25% faster BPS; the nearest-level
             # decision stays f32-exact
@@ -227,6 +268,8 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         return _derotate(Eeq, ph)
 
     # introspection: which kernel path the built chain actually takes
-    forward.backend_info = {"pallas": bool(pallas), "reasons": reasons,
+    forward.backend_info = {"pallas": bool(pallas),
+                            "pallas_gen": bool(pallas_gen),
+                            "grid_kind": kind, "reasons": reasons,
                             "bps_mode": bps_mode, "methods": tuple(methods)}
     return forward

@@ -113,3 +113,36 @@ class TestRxChain:
         fwd = make_rx_chain(M=64, Ntaps=17, os=2, block_size=128, pallas=True)
         assert fwd.backend_info["pallas"] is True
         assert fwd.backend_info["reasons"] == ()
+
+    def test_general_alphabet_chain(self):
+        """symbols= with a non-grid (radially warped) alphabet: the chain
+        recovers on the XLA path and on the partially fused pallas_gen
+        path (unrolled O(M) BPS decision, XLA decision trainer) —
+        VERDICT r2 #3."""
+        import sys
+        sys.path.insert(0, "tools")
+        from genbench import warped_qam
+        from qampy_tpu.ops import phase as phops
+        const = warped_qam(64)
+        grid = phops.detect_grid(jax.numpy.asarray(const))
+        assert phops.grid_decision_info(grid)[0] == "gen"
+        rng = np.random.default_rng(3)
+        syms = const[rng.integers(0, 64, size=(2, 2 ** 14))]
+        sig = qt.SymbolOnlySignal.from_symbol_array(
+            np.asarray(syms), coded_symbols=const, fb=25e9)
+        s2 = sig.resample(50e9, beta=0.1, renormalise=True)
+        s2 = qt.impairments.apply_PMD(s2, np.pi / 5.6, 20e-12)
+        s2 = qt.impairments.change_snr(s2, 30, key=jr.PRNGKey(7))
+        E = np.asarray(s2).astype(np.complex64)
+        for pal in (False, True):
+            fwd = make_rx_chain(Ntaps=17, os=2, methods=("mcma", "sbd"),
+                                mu=1.9e-3, bps_angles=32, bps_N=10,
+                                block_size=128, bps_tile=2048,
+                                symbols=const, pallas=pal)
+            info = fwd.backend_info
+            assert info["grid_kind"] == "gen"
+            assert info["pallas"] is False
+            assert info["pallas_gen"] is pal
+            out = np.asarray(jax.jit(fwd)(E))[:, 300:-300]
+            d = np.abs(out[:, :, None] - const[None, None, :]).min(-1)
+            assert d.mean() < 0.08, (pal, d.mean())

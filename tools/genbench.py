@@ -1,0 +1,202 @@
+"""SER-gated GENERAL-alphabet (non-grid) fused-chain bench on the real TPU.
+
+Evidence for the arbitrary-alphabet path (VERDICT r2 #3): a geometrically
+shaped constellation — radially warped 64-QAM by default, optional
+256-point variant — where the analytic per-axis grid decision CANNOT
+apply, so the BPS decision runs the O(M) search (Pallas unrolled
+max-score for M <= 256; reference any-M path
+qampy/core/pythran_dsp.py:47-85) and the decision-directed trainer stage
+runs the XLA MXU matmul decision. Channel and harness match bench.py's
+flagship workload (RRC 2x, 20 kHz phase noise, 35 dB, PMD), the SER gate
+decides nearest point over the full warped alphabet, minimised over pi/2
+rotations x pol PERMUTATIONS x taps-centre offsets.
+
+Run: python tools/genbench.py [64|256] [xla]   (real TPU, one process)
+"""
+import itertools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def warped_qam(M, k=0.18):
+    """Radially warped QAM: grid-breaking geometric shaping.
+
+    c' = c * (1 + k*(|c|^2 - 1)), re-normalised — outer points pushed out,
+    inner pulled in (a smooth geometric-shaping-like map). detect_grid
+    classifies it "gen": no uniform per-axis spacing survives.
+    """
+    from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+    c = cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))
+    w = c * (1 + k * (np.abs(c) ** 2 - 1))
+    return (w / np.sqrt(np.mean(np.abs(w) ** 2))).astype(np.complex64)
+
+
+def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
+         gate_thr=1e-4, Nsym=2 ** 20, cpu=False, pallas=True, shape="warp",
+         nu=0.1):
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from bench import make_tx
+    from qampy_tpu.ops.chain import make_rx_chain
+    from qampy_tpu.ops import phase as phops
+
+    print("devices: %s" % jax.devices(), file=sys.stderr, flush=True)
+
+    def fetch(x, what="value"):
+        for attempt in range(4):
+            try:
+                return np.asarray(x)
+            except Exception as e:
+                print("d2h %s attempt %d failed: %s" % (what, attempt, e),
+                      file=sys.stderr, flush=True)
+                time.sleep(5)
+        raise RuntimeError("device->host transfer failed for %s" % what)
+
+    fetch(jax.jit(lambda: jnp.zeros(8, jnp.float32))(), "warmup")
+    if shape == "ps":
+        # Maxwell-Boltzmann probabilistically shaped square QAM
+        # (reference theory.py:195-248 PS symbols): the SUPPORT stays a
+        # (re-scaled) uniform grid, so the fully fused chain applies; the
+        # shaped draw changes the radius statistics the blind stages see
+        from qampy_tpu import theory
+        base = warped_qam(M, k=0.0)  # uniform normalised QAM
+        probs = np.asarray(theory.cal_ps_probablts(base, nu))
+        H = float(-np.sum(probs * np.log2(probs)))
+        E_np, syms_np, const_np = make_tx(Nsym, const=base, probs=probs)
+        kind = phops.grid_decision_info(phops.detect_grid(
+            jnp.asarray(const_np)))[0]
+        print("tx ready (MB-PS %d-QAM nu=%g H=%.3f bits, grid kind %r)"
+              % (M, nu, H, kind), file=sys.stderr, flush=True)
+        label = "MB-PS %d-QAM (H=%.2fb)" % (M, H)
+    else:
+        const_np = warped_qam(M)
+        kind = phops.grid_decision_info(phops.detect_grid(
+            jnp.asarray(const_np)))[0]
+        assert kind == "gen", \
+            "warped alphabet unexpectedly classified %r" % kind
+        E_np, syms_np, _ = make_tx(Nsym, const=const_np)
+        print("tx ready (gen alphabet M=%d)" % M, file=sys.stderr, flush=True)
+        label = "GEN %d-pt (warped QAM)" % M
+    constr = np.ascontiguousarray(const_np.real).astype(np.float32)
+    consti = np.ascontiguousarray(const_np.imag).astype(np.float32)
+
+    @jax.jit
+    def gate(out, refr, refi, cr, ci):
+        # nearest-point SER over the full warped alphabet; min over pi/2
+        # rotations x pol PERMUTATIONS x taps-centre offsets, on device
+        c = cr + 1j * ci
+        ref = refr + 1j * refi
+        o = out[:, 200:-200]
+        L = o.shape[1]
+
+        def decide_idx(z):
+            zz = jnp.stack([z.real, z.imag], axis=-1)
+            ss = jnp.stack([c.real, c.imag], axis=0)
+            score = 2 * (zz @ ss) - (jnp.abs(c) ** 2)[None, :]
+            return jnp.argmax(score, axis=-1)
+
+        nm = o.shape[0]
+        ser_mr = []
+        for m in range(nm):
+            decs = [decide_idx(o[m] * (1j ** rot)) for rot in range(4)]
+            row = []
+            for refm in range(ref.shape[0]):
+                cand = []
+                for off in (3, 4, 5):
+                    rseg = jax.lax.dynamic_slice(ref, (refm, 200 + off),
+                                                 (1, L))[0]
+                    ridx = decide_idx(rseg)
+                    for dec in decs:
+                        cand.append(jnp.mean((dec != ridx)
+                                             .astype(jnp.float32)))
+                row.append(jnp.min(jnp.stack(cand)))
+            ser_mr.append(row)
+        perms = [jnp.mean(jnp.stack([ser_mr[m][p[m]] for m in range(nm)]))
+                 for p in itertools.permutations(range(nm))]
+        return jnp.min(jnp.stack(perms))
+
+    Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
+    Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
+    refr = jax.device_put(np.ascontiguousarray(syms_np.real).astype(np.float32))
+    refi = jax.device_put(np.ascontiguousarray(syms_np.imag).astype(np.float32))
+    fwd_c = make_rx_chain(Ntaps=17, os=2, methods=methods, mu=1.9e-3,
+                          bps_angles=64, bps_N=14, block_size=block_size,
+                          TrSyms=trs, symbols=const_np,
+                          pallas=(None if pallas else False))
+    print("backend_info: %s" % fwd_c.backend_info, file=sys.stderr, flush=True)
+    if not cpu and pallas:
+        assert (fwd_c.backend_info["pallas_gen"]
+                or fwd_c.backend_info["pallas"]), fwd_c.backend_info
+
+    def fwd(er, ei):
+        return fwd_c(er + 1j * ei)
+
+    chain = jax.jit(fwd)
+    print("compiling gen %d-pt chain (bs=%d trs=%d)..."
+          % (M, block_size, trs), file=sys.stderr, flush=True)
+    for attempt in range(5):
+        try:
+            out = jax.block_until_ready(chain(Er, Ei))
+            break
+        except Exception as e:
+            print("chain attempt %d failed: %s" % (attempt, str(e)[:150]),
+                  file=sys.stderr, flush=True)
+            time.sleep(10)
+    else:
+        raise RuntimeError("chain execution failed after retries")
+    best = float(fetch(jax.block_until_ready(
+        gate(out, refr, refi, jnp.asarray(constr), jnp.asarray(consti))),
+        "gate"))
+    print("gate SER=%.2e" % best, file=sys.stderr, flush=True)
+    if best > gate_thr:
+        print("SER gate failed: %.2e > %.0e" % (best, gate_thr),
+              file=sys.stderr, flush=True)
+        sys.exit(3)
+
+    REPS_A, REPS_B = 5, 45
+
+    def make_timed(reps):
+        @jax.jit
+        def timed(er, ei, s0):
+            def body(i, carry):
+                scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                o = fwd(er * scale, ei * scale)
+                return jnp.mean(jnp.abs(o)).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, reps, body, s0)
+        return timed
+
+    timedA, timedB = make_timed(REPS_A), make_timed(REPS_B)
+    fetch(timedA(Er, Ei, jnp.float32(0.)), "warmA")
+    fetch(timedB(Er, Ei, jnp.float32(0.5)), "warmB")
+
+    def run(f, seed):
+        t0 = time.perf_counter()
+        fetch(f(Er, Ei, jnp.float32(seed)), "timed")
+        return time.perf_counter() - t0
+
+    tA = min(run(timedA, 1.0), run(timedA, 2.0))
+    tB = min(run(timedB, 3.0), run(timedB, 4.0))
+    dt = max(tB - tA, 1e-9) / (REPS_B - REPS_A)
+    msym_s = Nsym * 2 / dt / 1e6
+    print("per-chain %.2f ms" % (dt * 1e3), file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "dual-pol %s %s->BPS throughput (SER=%.1e)"
+                  % (label, "->".join(methods), best),
+        "value": round(msym_s, 2), "unit": "Msym/s/chip"}))
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    M = int(args[0]) if args and args[0].isdigit() else 64
+    main(M=M, pallas="xla" not in args,
+         shape="ps" if "ps" in args else "warp")
