@@ -72,15 +72,15 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
         probs = np.asarray(theory.cal_ps_probablts(base, nu))
         H = float(-np.sum(probs * np.log2(probs)))
         E_np, syms_np, const_np = make_tx(Nsym, const=base, probs=probs)
-        kind = phops.grid_decision_info(phops.detect_grid(
-            jnp.asarray(const_np)))[0]
+        # detect_grid on the HOST constellation — a complex jnp.asarray
+        # would eagerly materialise on the axon device (forbidden)
+        kind = phops.grid_decision_info(phops.detect_grid(const_np))[0]
         print("tx ready (MB-PS %d-QAM nu=%g H=%.3f bits, grid kind %r)"
               % (M, nu, H, kind), file=sys.stderr, flush=True)
         label = "MB-PS %d-QAM (H=%.2fb)" % (M, H)
     else:
         const_np = warped_qam(M)
-        kind = phops.grid_decision_info(phops.detect_grid(
-            jnp.asarray(const_np)))[0]
+        kind = phops.grid_decision_info(phops.detect_grid(const_np))[0]
         assert kind == "gen", \
             "warped alphabet unexpectedly classified %r" % kind
         E_np, syms_np, _ = make_tx(Nsym, const=const_np)
