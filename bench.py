@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def make_tx(Nsym=2 ** 20, M=64, fb=25e9, seed=1, const=None, probs=None):
+def make_tx(Nsym=2 ** 20, M=64, fb=25e9, seed=1, const=None, probs=None,
+            snr=35):
     """Host-side TX synthesis: QAM (or a caller-supplied ``const``
     alphabet, optionally with non-uniform draw ``probs`` — probabilistic
     shaping), RRC 2x oversampling, phase noise, AWGN at 35 dB, PMD.
@@ -69,8 +70,8 @@ def make_tx(Nsym=2 ** 20, M=64, fb=25e9, seed=1, const=None, probs=None):
     var = 2 * np.pi * 20e3 / (os * fb)
     ph = np.cumsum(rng.normal(scale=np.sqrt(var), size=(2, L)), axis=-1)
     sig = sig * np.exp(1j * ph).astype(np.complex64)
-    # AWGN at 35 dB (os-aware)
-    n_amp = 10 ** (-35 / 20) * np.sqrt(os)
+    # AWGN (os-aware; default 35 dB)
+    n_amp = 10 ** (-snr / 20) * np.sqrt(os)
     sig = sig + (n_amp / np.sqrt(2) * (rng.standard_normal((2, L)) +
                  1j * rng.standard_normal((2, L)))).astype(np.complex64)
     # PMD: rotation + DGD in the frequency domain

@@ -38,7 +38,7 @@ def warped_qam(M, k=0.18):
 
 def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
          gate_thr=1e-4, Nsym=2 ** 20, cpu=False, pallas=True, shape="warp",
-         nu=0.1):
+         nu=0.5, bps_mode="single", timing=True, snr=35, mu=1.9e-3):
     import jax
     if cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -69,9 +69,21 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
         # shaped draw changes the radius statistics the blind stages see
         from qampy_tpu import theory
         base = warped_qam(M, k=0.0)  # uniform normalised QAM
-        probs = np.asarray(theory.cal_ps_probablts(base, nu))
+        # MB shaping acts per quadrature on the PAM levels (reference
+        # theory.py:195-222): per-symbol prob = p(Re) * p(Im). nu=0.5
+        # (H=5.94 bits) is the blind-receivable operating point: heavier
+        # shaping (nu>=1.5, H<=5.56) starves the outer moduli and the
+        # BLIND mcma/sbd stages lose lock (the reference receives such
+        # signals with the pilot-based chain, whose data-aided training
+        # and alphabet-free payload path are shaping-independent —
+        # "Geometric shaping ... pilot_based centering" notebook).
+        levels, plev = theory.cal_ps_probablts(base, nu)
+        probs = (plev[np.searchsorted(levels, base.real)]
+                 * plev[np.searchsorted(levels, base.imag)])
+        probs = probs / probs.sum()
         H = float(-np.sum(probs * np.log2(probs)))
-        E_np, syms_np, const_np = make_tx(Nsym, const=base, probs=probs)
+        E_np, syms_np, const_np = make_tx(Nsym, const=base, probs=probs,
+                                           snr=snr)
         # detect_grid on the HOST constellation — a complex jnp.asarray
         # would eagerly materialise on the axon device (forbidden)
         kind = phops.grid_decision_info(phops.detect_grid(const_np))[0]
@@ -83,7 +95,7 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
         kind = phops.grid_decision_info(phops.detect_grid(const_np))[0]
         assert kind == "gen", \
             "warped alphabet unexpectedly classified %r" % kind
-        E_np, syms_np, _ = make_tx(Nsym, const=const_np)
+        E_np, syms_np, _ = make_tx(Nsym, const=const_np, snr=snr)
         print("tx ready (gen alphabet M=%d)" % M, file=sys.stderr, flush=True)
         label = "GEN %d-pt (warped QAM)" % M
     constr = np.ascontiguousarray(const_np.real).astype(np.float32)
@@ -128,9 +140,9 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
     Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
     refr = jax.device_put(np.ascontiguousarray(syms_np.real).astype(np.float32))
     refi = jax.device_put(np.ascontiguousarray(syms_np.imag).astype(np.float32))
-    fwd_c = make_rx_chain(Ntaps=17, os=2, methods=methods, mu=1.9e-3,
+    fwd_c = make_rx_chain(Ntaps=17, os=2, methods=methods, mu=mu,
                           bps_angles=64, bps_N=14, block_size=block_size,
-                          TrSyms=trs, symbols=const_np,
+                          TrSyms=trs, symbols=const_np, bps_mode=bps_mode,
                           pallas=(None if pallas else False))
     print("backend_info: %s" % fwd_c.backend_info, file=sys.stderr, flush=True)
     if not cpu and pallas:
@@ -161,6 +173,9 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
         print("SER gate failed: %.2e > %.0e" % (best, gate_thr),
               file=sys.stderr, flush=True)
         sys.exit(3)
+    if not timing:
+        print(json.dumps({"metric": "gate-only", "ser": best}))
+        return
 
     REPS_A, REPS_B = 5, 45
 
@@ -189,9 +204,10 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
     dt = max(tB - tA, 1e-9) / (REPS_B - REPS_A)
     msym_s = Nsym * 2 / dt / 1e6
     print("per-chain %.2f ms" % (dt * 1e3), file=sys.stderr, flush=True)
+    bl = "BPS" if bps_mode == "single" else "BPS[%s]" % bps_mode
     print(json.dumps({
-        "metric": "dual-pol %s %s->BPS throughput (SER=%.1e)"
-                  % (label, "->".join(methods), best),
+        "metric": "dual-pol %s %s->%s throughput (SER=%.1e)"
+                  % (label, "->".join(methods), bl, best),
         "value": round(msym_s, 2), "unit": "Msym/s/chip"}))
 
 
@@ -199,4 +215,5 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     M = int(args[0]) if args and args[0].isdigit() else 64
     main(M=M, pallas="xla" not in args,
-         shape="ps" if "ps" in args else "warp")
+         shape="ps" if "ps" in args else "warp",
+         bps_mode="twostage" if "twostage" in args else "single")
