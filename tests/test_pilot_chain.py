@@ -183,6 +183,47 @@ class TestFusedPilotChain:
         assert "trainer" in fwd.backend_info
         assert fwd.backend_info["methods"] == ("cma", "cma")
 
+    def test_ps_shaped_payload(self):
+        """Heavily MB-shaped payload (nu=1.5, H=5.56 bits — beyond the
+        blind chain's lock range, docs/PERFORMANCE.md) demodulates
+        exactly through the pilot chain: data-aided training and the
+        alphabet-free payload path are shaping-independent, matching the
+        reference's PS workflow ("Geometric shaping ... pilot_based
+        centering" notebook)."""
+        from qampy_tpu import theory
+        from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+        base = (cal_symbols_qam(64)
+                / np.sqrt(cal_scaling_factor_qam(64))).astype(np.complex64)
+        lv, pl = theory.cal_ps_probablts(base, 1.5)
+        probs = (pl[np.searchsorted(lv, base.real)]
+                 * pl[np.searchsorted(lv, base.imag)])
+        probs /= probs.sum()
+        coded = (base / np.sqrt(np.sum(probs * np.abs(base) ** 2))
+                 ).astype(np.complex64)
+        rng = np.random.default_rng(5)
+        npl = (FRAME - SEQ) * (INS - 1) // INS
+        pay = coded[rng.choice(64, size=(2, npl), p=probs)]
+        pays = qt.SymbolOnlySignal.from_symbol_array(
+            pay, coded_symbols=coded, fb=24e9)
+        sig = qt.SignalWithPilots.from_symbol_array(pays, FRAME, SEQ, INS,
+                                                    nframes=4)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(9))
+        fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
+                                  np.asarray(sig.ph_pilots),
+                                  sig.frame_len, sig.pilot_ins_rat,
+                                  os=2, M=64, nmodes=2, Ntaps=17, Niter=30,
+                                  cpe_avg=3, frames=(0, 1))
+        d, info = jax.jit(fwd)(jnp.asarray(s2.samples))
+        out = np.asarray(d)
+        ref = np.asarray(sig.get_data(frames=[0, 1]).samples)
+        dec = np.argmin(np.abs(out[..., None] - coded[None, None, :]), -1)
+        rdec = np.argmin(np.abs(ref[..., None] - coded[None, None, :]), -1)
+        ser = np.mean(dec != rdec, axis=-1)
+        assert np.all(ser == 0.0), ser
+
     def test_span_mode_rejects_noncontiguous_frames(self):
         """An unsatisfiable frames_mode='span' request must raise instead
         of silently falling back to the scan lowering (ADVICE r2)."""
