@@ -113,8 +113,17 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     if symbols is not None:
         const = np.asarray(symbols).astype(dtype).reshape(-1)
         M = const.shape[0]
-        symbols1 = eqops._reshape_symbols(const.copy(), methods[0], M, dtype, 2)
-        symbols2 = eqops._reshape_symbols(const.copy(), methods[1], M, dtype, 2)
+
+        def _syms_for(method):
+            # blind constants from the ALPHABET, not square-QAM M — the
+            # modulus moments of a custom alphabet differ and CMA-family
+            # stages would converge the output to the wrong scale
+            row = eqops.generate_symbols_for_eq_from_alphabet(
+                method, const, dtype)
+            return np.tile(row, (2, 1)) if row.shape[0] == 1 else row
+
+        symbols1 = _syms_for(methods[0])
+        symbols2 = _syms_for(methods[1])
     else:
         symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
         symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)

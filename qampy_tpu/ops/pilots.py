@@ -49,6 +49,14 @@ def frame_sync(rx_signal, ref_symbs, os, frame_len=2 ** 16, M_pilot=4, mu=1e-3,
 
     Parity: reference core/pilotbased_receiver.py:329-434. Returns
     (shift_factor, coarse_foe, mode_sync_order, wx1, sync_bool).
+
+    Note: this granular entry deliberately fetches the batched window
+    metrics to the host for the tiny greedy mode assignment (numpy return
+    values are its contract, mirroring the reference); the serving path
+    (ops/pilot_chain.make_pilot_rx_chain) runs the same search fully
+    on-device with traced argmax/dynamic_slice. Equality of the two
+    implementations is pinned by
+    tests/test_pilot_chain.py::test_matches_granular_chain.
     """
     sync_bool = True
     rx_signal = np.atleast_2d(np.asarray(rx_signal))
