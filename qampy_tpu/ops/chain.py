@@ -204,6 +204,22 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
 
         _, w1, _ = train(E, trs, 1, os, mu, w0, symbols1,
                          methods[0], adaptive=True, block_size=block_size)
+        if nmodes == 2:
+            # CMA pol-demux singularity guard (the reference ships
+            # orthogonalizetaps for this, core/equalisation/
+            # equalisation.py:284-309, Liu et al. OFC'09): when the two
+            # stage-1 tap rows converge onto the SAME source polarisation
+            # (rows nearly parallel in tap space), re-initialise row 1
+            # opposite-orthogonal to row 0 and let stage 2 retrain it.
+            # Traced select — no host round trip, negligible cost.
+            f0 = w1[0].reshape(-1)
+            f1 = w1[1].reshape(-1)
+            inner = jnp.abs(jnp.vdot(f0, f1))
+            n01 = jnp.sqrt(jnp.sum(jnp.abs(f0) ** 2)
+                           * jnp.sum(jnp.abs(f1) ** 2))
+            orth = jnp.conj(w1[0][::-1, ::-1])[None]
+            w1 = jnp.where(inner > 0.9 * n01,
+                           jnp.concatenate([w1[:1], orth]), w1)
         _, w2, _ = train(E, trs, 1, os, mu, w1, symbols2,
                          methods[1], adaptive=True, block_size=block_size)
         # single-pass bf16 contraction for the filter on TPU (the ~0.4%
@@ -257,10 +273,12 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                                            win_dtype=win_dtype, N1=60)
             return _derotate(Eeq, ph)
         if bps_mode.startswith("twostage"):
-            # XLA two-stage path (reference bps_twostage semantics)
+            # XLA two-stage path — same N1=60 wide coarse window as the
+            # Pallas kernel (slip suppression, docs/PERFORMANCE.md), so
+            # bps_mode="twostage" behaves consistently across backends
             div = 2 if bps_mode.endswith("32") else 4
             out, ph = phops.bps_twostage(Eeq, max(bps_angles // div, 16),
-                                         const, bps_N, B=8)
+                                         const, bps_N, B=8, N1=60)
             return out
         if pallas or pallas_gen:
             from qampy_tpu.ops.phase_pallas import bps_idx_pallas

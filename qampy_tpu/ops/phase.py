@@ -294,13 +294,19 @@ def bps(E, Mtestangles, symbols, N, method=None, **kwargs):
     return out, ph
 
 
-def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
+def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, N1=None,
+                 **kwargs):
     """Two-stage BPS: coarse search then per-sample fine grid.
 
-    Parity: reference core/phaserecovery.py:222-288. On TPU with a
-    square-grid constellation both stages run as fused Pallas kernels
-    (the coarse shared-grid pass plus a per-sample fine pass whose
-    rotations ride the angle-addition formulas).
+    Parity: reference core/phaserecovery.py:222-288 (exact for the
+    default ``N1=None``). ``N1`` widens ONLY the coarse stage's averaging
+    half-window — the carrier phase varies slowly, so a wide coarse
+    window suppresses coarse-stage cycle slips at unchanged tracking
+    bandwidth (the fine stage keeps ``N``); this is the same documented
+    deviation as the Pallas kernel's N1 (docs/PERFORMANCE.md, pinned by
+    test_reference_parity.test_bps_twostage_pallas_wide_coarse_deviation).
+    On TPU with a square-grid constellation both stages run as fused
+    Pallas kernels.
     """
     E = jnp.asarray(E)
     symbols = jnp.asarray(symbols)
@@ -312,7 +318,7 @@ def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
     grid = detect_grid(symbols)
     if _use_pallas_bps(grid, method):
         from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
-        phf = bps_phase_twostage_pallas(Ew, Mtestangles, B, grid, N)
+        phf = bps_phase_twostage_pallas(Ew, Mtestangles, B, grid, N, N1=N1)
         ph_out = jnp.unwrap(phf * 4, axis=-1) / 4
         En = Ew * jnp.exp(1.j * ph_out).astype(Ew.dtype)
         if E.ndim == 1:
@@ -320,7 +326,7 @@ def bps_twostage(E, Mtestangles, symbols, N, B=4, method=None, **kwargs):
         return En, ph_out
 
     def one_mode(e):
-        idx = bps_idx(e, angles, symbols, N, grid=grid)
+        idx = bps_idx(e, angles, symbols, N if N1 is None else N1, grid=grid)
         ph = select_angles(angles, idx)
         b = jnp.linspace(-B / 2, B / 2, B, dtype=rdtype)
         phn = ph[:, None] + b[None, :] / (B * Mtestangles) * np.pi / 2
