@@ -167,23 +167,28 @@ def generate_symbols_for_eq_from_alphabet(method, const, dtype):
              + 1j * np.mean(const.imag ** 4) / np.mean(const.imag ** 2))
         return np.atleast_2d(R).astype(dtype)
     if method == "rde":
-        codes = np.unique(np.round(np.abs(const) ** 2, 6))
-        parts = (codes[:-1] + codes[1:]) / 2
-        out = np.zeros(2 * codes.size - 1, dtype=np.complex128)
-        out[: parts.size] = parts
-        out[parts.size:] = codes
-        return np.atleast_2d(out).astype(dtype)
+        # reference codebook layout (generate_partition_codes_radius):
+        # [codes..., partition boundaries...] — codes are the |s|^4/|s|^2
+        # moment radii per |s| shell, generalised to the alphabet's shells
+        r2 = np.abs(const) ** 2
+        shells = np.unique(np.round(r2, 6))
+        codes = np.array([np.mean(r2[np.isclose(np.round(r2, 6), s)] ** 2)
+                          / np.mean(r2[np.isclose(np.round(r2, 6), s)])
+                          for s in shells])
+        parts = codes[:-1] + np.diff(codes) / 2
+        return np.atleast_2d(np.hstack([codes, parts]) + 0j).astype(dtype)
     if method == "mrde":
-        cr = np.unique(np.round(const.real ** 2, 6))
-        ci = np.unique(np.round(const.imag ** 2, 6))
-        n = min(cr.size, ci.size)
-        cr, ci = cr[:n], ci[:n]
-        pr = (cr[:-1] + cr[1:]) / 2
-        pi = (ci[:-1] + ci[1:]) / 2
-        out = np.zeros(2 * n - 1, dtype=np.complex128)
-        out[: n - 1] = pr + 1j * pi
-        out[n - 1:] = cr + 1j * ci
-        return np.atleast_2d(out).astype(dtype)
+        # reference layout (generate_partition_codes_complex):
+        # [codes..., partitions...] with per-axis |re|^4/|re|^2 radii
+        sr = np.unique(np.round(np.abs(const.real) ** 4
+                                / np.abs(const.real) ** 2, 9))
+        si = np.unique(np.round(np.abs(const.imag) ** 4
+                                / np.abs(const.imag) ** 2, 9))
+        n = min(sr.size, si.size)
+        sr, si = sr[:n], si[:n]
+        codes = sr + 1j * si
+        parts = (sr[:-1] + np.diff(sr) / 2) + 1j * (si[:-1] + np.diff(si) / 2)
+        return np.atleast_2d(np.hstack([codes, parts])).astype(dtype)
     if method in ("sbd", "mddma", "dd"):
         return np.atleast_2d(const).astype(dtype)
     raise ValueError("no alphabet-derived constants for method %r" % method)

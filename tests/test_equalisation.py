@@ -290,3 +290,26 @@ class TestBackendAuto:
                                                     method="mcma",
                                                     backend="seq")
         np.testing.assert_array_equal(np.asarray(w_auto), np.asarray(w_seq))
+
+
+class TestAlphabetConstants:
+    """generate_symbols_for_eq_from_alphabet on a SQUARE alphabet must
+    reproduce the reference's M-based constants (so the symbols= path is
+    a strict generalisation)."""
+
+    @pytest.mark.parametrize("method", ["cma", "mcma", "rde", "mrde",
+                                        "sbd"])
+    def test_square_qam_reproduces_M_constants(self, method):
+        from qampy_tpu.ops.equaliser import (
+            generate_symbols_for_eq, generate_symbols_for_eq_from_alphabet)
+        from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+        M = 64
+        const = (cal_symbols_qam(M)
+                 / np.sqrt(cal_scaling_factor_qam(M))).astype(np.complex128)
+        # exact positional comparison: the rde/mrde codebook layout
+        # ([codes..., partitions...]) is sliced by position in the kernel
+        ref = np.asarray(generate_symbols_for_eq(method, M,
+                                                 np.complex128)).ravel()
+        got = np.asarray(generate_symbols_for_eq_from_alphabet(
+            method, const, np.complex128)).ravel()
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
