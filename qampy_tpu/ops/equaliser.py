@@ -724,17 +724,49 @@ def _resolve_backend(backend, block_size):
 
 def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
                     method="mcma", adaptive_stepsize=False, symbols=None, modes=None,
-                    apply=False, backend="auto", block_size=None, **kwargs):
+                    apply=False, backend="auto", block_size=None,
+                    avoid_cma_sing=False, **kwargs):
     """Blind/data-aided adaptive equalisation of a (nmodes, L) signal.
 
     Parity: reference core/equalisation/equalisation.py:468-566.
     ``backend`` selects the exact sequential scan ("seq"), the MXU
     block-LMS ("block"), the Pallas variants, or "auto" (the default):
     seq on CPU, block on an accelerator — see ``_resolve_backend``.
+    ``avoid_cma_sing`` (dual-pol only) trains mode 0 first and
+    initialises mode 1 opposite-orthogonal to it (``orthogonalizetaps``,
+    Liu et al. OFC'09) before training mode 1 — the newer reference
+    releases expose the same kwarg (the checked-in reference ships the
+    helper unwired; its notebooks call the kwarg).
     Returns (wxy, err) or (Eest, wxy, err) when apply=True.
     """
     method = method.lower()
     backend, block_size = _resolve_backend(backend, block_size)
+    if avoid_cma_sing:
+        E_arr = jnp.asarray(E)
+        if E_arr.shape[0] != 2 or method in REAL_VALUED:
+            raise ValueError("avoid_cma_sing needs a dual-pol complex signal")
+        if modes is not None:
+            raise ValueError("avoid_cma_sing trains both modes; do not pass modes=")
+        w0, err0 = equalise_signal(E_arr, os, mu, M, wxy=wxy, Ntaps=Ntaps,
+                                   TrSyms=TrSyms, Niter=Niter, method=method,
+                                   adaptive_stepsize=adaptive_stepsize,
+                                   symbols=symbols, modes=[0], apply=False,
+                                   backend=backend, block_size=block_size,
+                                   **kwargs)
+        w_init = jnp.asarray(w0).at[1].set(
+            jnp.asarray(orthogonalizetaps(np.asarray(w0[0]))))
+        w1, err1 = equalise_signal(E_arr, os, mu, M, wxy=np.asarray(w_init),
+                                   Ntaps=Ntaps, TrSyms=TrSyms, Niter=Niter,
+                                   method=method,
+                                   adaptive_stepsize=adaptive_stepsize,
+                                   symbols=symbols, modes=[1], apply=False,
+                                   backend=backend, block_size=block_size,
+                                   **kwargs)
+        err = jnp.stack([jnp.asarray(err0)[0], jnp.asarray(err1)[1]])
+        if apply:
+            Eest = apply_filter(E_arr, os, w1)
+            return Eest, w1, err
+        return w1, err
     E = jnp.asarray(E)
     real_valued = method in REAL_VALUED
     if real_valued:
@@ -791,10 +823,13 @@ def equalise_signal(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=None, Niter=1,
 def dual_mode_equalisation(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=(None, None),
                            Niter=(1, 1), methods=("mcma", "sbd"),
                            adaptive_stepsize=(False, False), symbols=None, modes=None,
-                           apply=True, backend="auto", **kwargs):
+                           apply=True, backend="auto",
+                           avoid_cma_sing=(False, False), **kwargs):
     """Two-stage equalisation: stage-1 taps warm-start stage 2.
 
-    Parity: reference core/equalisation/equalisation.py:400-466.
+    Parity: reference core/equalisation/equalisation.py:400-466;
+    ``avoid_cma_sing`` per stage as in the newer reference releases (see
+    equalise_signal).
     """
     symbols = np.atleast_1d(symbols) if symbols is not None else None
     if symbols is not None and symbols.ndim < 3:
@@ -804,11 +839,13 @@ def dual_mode_equalisation(E, os, mu, M, wxy=None, Ntaps=None, TrSyms=(None, Non
     wxy1, err1 = equalise_signal(E, os, mu[0], M, wxy=wxy, Ntaps=Ntaps, TrSyms=TrSyms[0],
                                  Niter=Niter[0], method=methods[0],
                                  adaptive_stepsize=adaptive_stepsize[0], symbols=s0,
-                                 modes=modes, backend=backend, **kwargs)
+                                 modes=modes, backend=backend,
+                                 avoid_cma_sing=avoid_cma_sing[0], **kwargs)
     wxy2, err2 = equalise_signal(E, os, mu[1], M, wxy=wxy1, TrSyms=TrSyms[1],
                                  Niter=Niter[1], method=methods[1],
                                  adaptive_stepsize=adaptive_stepsize[1], symbols=s1,
-                                 modes=modes, backend=backend, **kwargs)
+                                 modes=modes, backend=backend,
+                                 avoid_cma_sing=avoid_cma_sing[1], **kwargs)
     if apply:
         Eest = apply_filter(E, os, wxy2, modes=modes)
         return Eest, wxy2, (err1, err2)

@@ -313,3 +313,32 @@ class TestAlphabetConstants:
         got = np.asarray(generate_symbols_for_eq_from_alphabet(
             method, const, np.complex128)).ravel()
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
+
+
+class TestAvoidCmaSing:
+    """avoid_cma_sing= (newer-reference kwarg; the checked-in reference
+    ships orthogonalizetaps unwired while its notebooks call the kwarg):
+    mode 0 trains first, mode 1 starts opposite-orthogonal."""
+
+    def test_dual_mode_with_avoid_sing(self):
+        import jax.random as jr
+        fb = 25e9
+        s = signals.SignalQAMGrayCoded(16, 2 ** 14, nmodes=2, fb=fb, seed=8)
+        s2 = s.resample(2 * fb, beta=0.1)
+        s2 = impairments.apply_PMD(s2, np.pi / 5.6, 10e-12)
+        s2 = impairments.change_snr(s2, 25, key=jr.PRNGKey(8))
+        E, w, errs = equalisation.dual_mode_equalisation(
+            s2, (1e-3, 1e-3), 11, methods=("mcma", "sbd"),
+            avoid_cma_sing=(True, False))
+        assert np.asarray(w).shape == (2, 2, 11)
+        ser = np.asarray(E.cal_ser())
+        assert np.all(ser < 1e-3), ser
+
+    def test_avoid_sing_rejects_bad_usage(self):
+        from qampy_tpu.ops import equaliser as eqops
+        rng = np.random.default_rng(0)
+        E1 = (rng.standard_normal((1, 1024))
+              + 1j * rng.standard_normal((1, 1024)))
+        with pytest.raises(ValueError, match="dual-pol"):
+            eqops.equalise_signal(E1, 2, 1e-3, 4, Ntaps=7,
+                                  avoid_cma_sing=True)
