@@ -92,7 +92,7 @@ def _unwrap_across_shards(ph4):
 
 
 def _bps_local(E_loc, angles, symbols, N, grid=None, pallas=False,
-               angles_host=None, bps_tile=2048):
+               angles_host=None, bps_tile=2048, win_dtype="auto"):
     """BPS on a local shard with N-sample halos on both sides.
 
     Every local sample gets a full 2N averaging window; the per-sample angle
@@ -102,8 +102,15 @@ def _bps_local(E_loc, angles, symbols, N, grid=None, pallas=False,
 
     if pallas and grid is not None:
         from qampy_tpu.ops.phase_pallas import bps_idx_pallas
+        from qampy_tpu.ops.phase import grid_decision_info
+        if win_dtype == "auto":
+            # bf16 window accumulation is safe for the near-zero analytic
+            # grid distances but breaks the gen score's large affine
+            # offset (ops/chain.py measured SER 8e-4 vs 0) — f32 for gen
+            win_dtype = (None if grid_decision_info(grid)[0] == "gen"
+                         else jnp.bfloat16)
         idx = bps_idx_pallas(Ee, angles_host, grid, N, T=bps_tile,
-                             win_dtype=jnp.bfloat16)
+                             win_dtype=win_dtype)
         A = angles_host.size
         step = float(np.pi / 2 / A)
         lo = float(angles_host[0])
@@ -155,7 +162,7 @@ def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
 def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
                           TrSyms_loc=None, Niter=1, bps_angles=32, bps_N=16,
                           rounds=2, block_size=64, adaptive=True, pallas=None,
-                          bps_tile=2048):
+                          bps_tile=2048, symbols=None):
     """Build the jitted multi-chip flagship RX chain.
 
     Input: (nmodes, L) waveform sharded over time; runs two-stage
@@ -167,21 +174,48 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     (the same kernels as the single-chip flagship, so per-chip throughput
     matches it and scaling efficiency is set by the halo exchanges alone).
 
-    Returns a function f(E, syms1, syms2) -> (Eout, ph, evm) where Eout is
+    ``symbols`` overrides the constellation with an arbitrary host
+    alphabet, mirroring make_rx_chain(symbols=...): blind constants come
+    from the alphabet's moments and the BPS searches the alphabet. A
+    NON-GRID alphabet keeps the per-shard Pallas path when both methods
+    are modulus-type (cma/sgncma/mcma/rde — the robust gen recipe,
+    docs/PERFORMANCE.md) and the alphabet has <= 256 points (the
+    unrolled Pallas BPS decision); decision-directed methods on gen
+    alphabets fall back to XLA per shard.
+
+    Returns a function f(E) -> (Eout, ph, evm) where Eout is
     the equalised + derotated symbol-rate signal (sharded over time).
     """
     dtype = np.complex64
-    symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
-    symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
     from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
     from qampy_tpu.ops.chain import pallas_eligibility, _resolve_pallas
-    const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
+    if symbols is not None:
+        const = np.asarray(symbols).astype(dtype).reshape(-1)
+        M = const.shape[0]
+        symbols1 = np.tile(eqops.generate_symbols_for_eq_from_alphabet(
+            methods[0], const, dtype), (2, 1))
+        symbols2 = np.tile(eqops.generate_symbols_for_eq_from_alphabet(
+            methods[1], const, dtype), (2, 1))
+    else:
+        symbols1 = eqops._reshape_symbols(None, methods[0], M, dtype, 2)
+        symbols2 = eqops._reshape_symbols(None, methods[1], M, dtype, 2)
+        const = (cal_symbols_qam(M) / np.sqrt(cal_scaling_factor_qam(M))).astype(dtype)
     grid = phops.detect_grid(const)
     # the compiled-TPU lane-tile rules (block_size/bps_tile % 128) are
     # checked here statically so an ineligible config degrades loudly
     # instead of silently running XLA per shard
     ok, reasons = pallas_eligibility(grid, methods, block_size=block_size,
                                      bps_tile=bps_tile)
+    if not ok:
+        # gen-alphabet Pallas path: modulus-only trainers are grid-free
+        # and the unrolled BPS decision covers <= 256 points
+        from qampy_tpu.ops.equaliser_pallas import _BLOCK_ERRFNS
+        kind = phops.grid_decision_info(grid)[0]
+        gen_ok = (kind == "gen" and const.shape[0] <= 256
+                  and all(m in _BLOCK_ERRFNS for m in methods)
+                  and (block_size % 128 == 0) and (bps_tile % 128 == 0))
+        if gen_ok:
+            ok, reasons = True, ()
     use_pallas = _resolve_pallas(pallas, ok, reasons, what="sharded rx chain")
     angles_host = np.linspace(-np.pi / 4, np.pi / 4, bps_angles,
                               endpoint=False, dtype=np.float32)

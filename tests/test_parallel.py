@@ -141,3 +141,56 @@ class TestShardedPallas:
                 methods=("cma", "rde"), block_size=96, pallas=True)
         assert chain.backend_info["pallas"] is False
         assert any("block_size" in r for r in chain.backend_info["reasons"])
+
+
+def test_sharded_gen_alphabet_chain():
+    """symbols= on the sharded chain (VERDICT r2 #3 extended to
+    multi-chip): a warped (non-grid) 64-pt alphabet with modulus-only
+    methods keeps the per-shard Pallas path and recovers SER-gated on
+    the virtual mesh."""
+    import sys
+    sys.path.insert(0, "tools")
+    from genbench import warped_qam
+    import jax.random as jr
+    import qampy_tpu as qt
+    from qampy_tpu import impairments
+    from qampy_tpu.parallel import make_mesh, sharded
+
+    const = warped_qam(64)
+    n_devices = 8
+    mesh = make_mesh(n_devices)
+    rng = np.random.default_rng(4)
+    syms = const[rng.integers(0, 64, size=(2, 2048 * n_devices))]
+    sig = qt.SymbolOnlySignal.from_symbol_array(syms, coded_symbols=const,
+                                                fb=25e9)
+    s2 = sig.resample(50e9, beta=0.1, renormalise=True)
+    s2 = impairments.simulate_transmission(s2, snr=35, dgd=10e-12,
+                                           theta=np.pi / 5.6,
+                                           key=jr.PRNGKey(4))
+    E = sharded.shard_signal(np.asarray(s2).astype(np.complex64), mesh)
+    chain = sharded.make_sharded_rx_chain(
+        mesh, os=2, mu1=1.9e-3, mu2=1.9e-3, M=64, Ntaps=17,
+        methods=("mcma", "mcma"), rounds=3, Niter=2, bps_angles=32,
+        bps_N=14, block_size=128, bps_tile=256, pallas=True,
+        symbols=const)
+    assert chain.backend_info["pallas"], chain.backend_info["reasons"]
+    Eout, ph, evm = chain(E)
+    out = np.asarray(Eout)[:, 300:-300]
+    # per-mode nearest-point SER over the warped alphabet, min over
+    # per-mode rotations x pol permutation
+    import itertools
+    nm = 2
+    ser_mr = np.ones((nm, nm))
+    for m in range(nm):
+        for rm in range(nm):
+            for rot in range(4):
+                for off in (3, 4, 5):
+                    r = syms[rm][300 + off:300 + off + out.shape[1]]
+                    dec = np.argmin(np.abs((out[m] * (1j ** rot))[:, None]
+                                           - const[None, :]), -1)
+                    rdec = np.argmin(np.abs(r[:, None] - const[None, :]), -1)
+                    ser_mr[m, rm] = min(ser_mr[m, rm],
+                                        float(np.mean(dec != rdec)))
+    ser = min(np.mean([ser_mr[m, p[m]] for m in range(nm)])
+              for p in itertools.permutations(range(nm)))
+    assert ser < 1e-2, ser
