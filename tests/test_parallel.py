@@ -194,3 +194,16 @@ def test_sharded_gen_alphabet_chain():
     ser = min(np.mean([ser_mr[m, p[m]] for m in range(nm)])
               for p in itertools.permutations(range(nm)))
     assert ser < 1e-2, ser
+
+
+def test_shard_replicate_fetch_helpers():
+    """shard_signal/replicate_signal/fetch_global round-trip (the
+    multi-process-safe array builders, single-process semantics)."""
+    from qampy_tpu.parallel import make_mesh, sharded
+    mesh = make_mesh(8)
+    x = (np.arange(2 * 64) + 1j * np.arange(2 * 64)[::-1]).reshape(2, 64)
+    x = x.astype(np.complex64)
+    xs = sharded.shard_signal(x, mesh)
+    np.testing.assert_array_equal(sharded.fetch_global(xs, mesh), x)
+    xr = sharded.replicate_signal(x, mesh)
+    np.testing.assert_array_equal(np.asarray(xr), x)
