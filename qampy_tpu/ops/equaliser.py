@@ -398,12 +398,6 @@ def train_equaliser_seq(E, TrSyms, Niter, os, mu, wx, symbols, method,
 # block trainer — block-LMS on the MXU
 # ---------------------------------------------------------------------------
 
-def _gather_windows(Eb, S, os, ntaps):
-    """(nmodes, S*os+ntaps-1) -> (S, nmodes, ntaps) sliding windows."""
-    idx = jnp.arange(S)[:, None] * os + jnp.arange(ntaps)[None, :]
-    return jnp.moveaxis(Eb[:, idx], 0, 1)
-
-
 def _vary_like(x, E):
     """Give x the shard_map varying-axes type of data derived from E.
 

@@ -322,27 +322,50 @@ class Signal:
         return jnp.atleast_2d(jnp.asarray(signal))
 
     def _sync_and_adjust(self, tx, rx, synced=False):
-        """Greedy mode matching + length adjustment (reference signals.py:245-266)."""
+        """Greedy mode matching + length adjustment (reference signals.py:245-266).
+
+        The reference scores every (rx mode, tx mode) pair with its own
+        ``sync_and_adjust`` call; doing that here would ping-pong the host
+        <->device boundary nmodes^2 times (one scalar fetch per pair). The
+        pair scores are instead computed in ONE batched FFT correlation
+        (the ``ops/pilots.frame_sync`` pattern) and fetched as a single
+        (rxmodes, txmodes) matrix; the greedy assignment then runs host-side
+        and only the chosen pairs are actually synced (rxmodes device calls
+        instead of rxmodes*txmodes).
+        """
         if synced:
             return self._adjust_only(tx, rx)
         tx = jnp.atleast_2d(tx)
         rx = jnp.atleast_2d(rx)
         txmodes = tx.shape[0]
         rxmodes = rx.shape[0]
+        # score[j, i] == the acm that sync_and_adjust(tx[i], rx[j]) returns:
+        # every adjust="tx" branch of core/sync.sync_and_adjust scores via
+        # find_sequence_offset_complex(rx_j, tx_i), whose max-over-4-rotations
+        # peak reduces to max_t max(|Re ac|, |Im ac|) for complex data and
+        # max_t |ac| for real data (core/sync.py:52-77)
+        ac = ber_functions._xcorr_full(1. * rx[:, None, :], 1. * tx[None, :, :])
+        if jnp.iscomplexobj(tx) or jnp.iscomplexobj(rx):
+            score = jnp.max(jnp.maximum(jnp.abs(ac.real), jnp.abs(ac.imag)),
+                            axis=-1)
+        else:
+            score = jnp.max(jnp.abs(ac), axis=-1)
+        score = np.asarray(score)                       # ONE device fetch
         idxx = list(range(max(txmodes, rxmodes)))
         tx_out, rx_out = [], []
         for j in range(rxmodes):
+            # same strict-> greedy order as the reference's scalar loop
             acm = -100.
-            best = None
+            best_i = None
             for i in idxx:
-                (t, r), act = ber_functions.sync_and_adjust(tx[i % txmodes], rx[j])
-                act = float(act)
+                act = float(score[j, i % txmodes])
                 if act > acm:
-                    best = (i, t, r)
+                    best_i = i
                     acm = act
-            idxx.remove(best[0])
-            tx_out.append(best[1])
-            rx_out.append(best[2])
+            idxx.remove(best_i)
+            (t, r), _ = ber_functions.sync_and_adjust(tx[best_i % txmodes], rx[j])
+            tx_out.append(t)
+            rx_out.append(r)
         return jnp.stack(tx_out), jnp.stack(rx_out)
 
     def _adjust_only(self, tx, rx, which="tx"):

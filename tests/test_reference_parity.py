@@ -729,3 +729,152 @@ class TestTheoryCurves:
             want = ((1 - fr) * nb1 * b1 + fr * nb2 * b2) / (
                 (1 - fr) * nb1 + fr * nb2)
             np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestTrainEqualiserRealValued:
+    """qampy_tpu real-valued trainer (train_equaliser_seq(real_valued=True))
+    vs reference pythran_equalisation.train_equaliser_realvalued (:80-108)
+    element-wise on identical inputs — all 4 real methods + adaptive step.
+
+    The repo re-derives the real kernel from the SAME scan as the complex
+    one (ops/equaliser.py real_valued=True); this pins that re-derivation
+    against the actual reference recurrence."""
+
+    def _real_setup(self, M=16, L=256, ntaps=7, seed=3):
+        E, syms, const = _tx_2pol(L, M=M, seed=seed)
+        Er = np.concatenate([E.real, E.imag], axis=0)  # _convert_sig_to_real
+        wx0 = eqops._init_taps(ntaps, 4, 4, np.float64)
+        return np.ascontiguousarray(Er), syms, const, wx0
+
+    @pytest.mark.parametrize("method", ["cma", "sgncma", "dd"])
+    def test_real_blind_methods_elementwise(self, method):
+        with jax.enable_x64():
+            Er, _, _, wx0 = self._real_setup()
+            TrSyms, Niter, os, mu = 100, 2, 2, 1e-3
+            symbols = eqops._reshape_symbols(
+                None, method + "_real", 16, np.float64, 4)
+            err_ref, wx_ref, _ = ref_pe.train_equaliser_realvalued(
+                Er.copy(), TrSyms, Niter, os, mu, wx0.copy(),
+                np.arange(4), False, symbols.copy(), method)
+            err, wx, _ = eqops.train_equaliser_seq(
+                Er, TrSyms, Niter, os, mu, wx0, symbols, method,
+                adaptive=False, real_valued=True)
+            np.testing.assert_allclose(np.asarray(wx), wx_ref,
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(err), err_ref,
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_real_data_aided_elementwise(self):
+        with jax.enable_x64():
+            Er, syms, _, wx0 = self._real_setup()
+            TrSyms, os, mu = 100, 2, 1e-3
+            symbols = np.concatenate([syms.real, syms.imag],
+                                     axis=0)[:, :TrSyms].copy()
+            err_ref, wx_ref, _ = ref_pe.train_equaliser_realvalued(
+                Er.copy(), TrSyms, 1, os, mu, wx0.copy(), np.arange(4),
+                False, symbols.copy(), "dd_data")
+            err, wx, _ = eqops.train_equaliser_seq(
+                Er, TrSyms, 1, os, mu, wx0, symbols, "dd_data",
+                adaptive=False, real_valued=True)
+            np.testing.assert_allclose(np.asarray(wx), wx_ref,
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(err), err_ref,
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_real_adaptive_stepsize_single_mode(self):
+        # the reference carries ONE mu across its sequential mode loop;
+        # parity for the adaptive rule is therefore pinned on a single
+        # trained output mode (same caveat as the complex adaptive test)
+        with jax.enable_x64():
+            Er, _, _, _ = self._real_setup(M=4)
+            TrSyms, os, mu, ntaps = 100, 2, 2e-3, 7
+            wx0 = eqops._init_taps(ntaps, 4, 4, np.float64)
+            symbols = eqops._reshape_symbols(None, "cma_real", 4,
+                                             np.float64, 4)
+            err_ref, wx_ref, mu_ref = ref_pe.train_equaliser_realvalued(
+                Er.copy(), TrSyms, 2, os, mu, wx0.copy(), np.arange(1),
+                True, symbols.copy(), "cma")
+            err, wx, mu_out = eqops.train_equaliser_seq(
+                Er, TrSyms, 2, os, mu, wx0[:1], symbols[:1], "cma",
+                adaptive=True, real_valued=True)
+            np.testing.assert_allclose(np.asarray(wx)[0], wx_ref[0],
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(err)[0], err_ref[0],
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(float(mu_out[0]), float(mu_ref),
+                                       rtol=1e-9)
+
+
+class TestExtendedMethodsOracle:
+    """sca/cme trainers vs the reference formulas hand-transcribed from
+    cython_errorfcts.pyx:196-241 / numba_equalisation.py:302-361 (the
+    reference's own sca/cme live only in uncompilable Cython/numba).
+
+    Pins the SCA 16x factor + R^2 convention (ErrorFctSCA(R) with
+    R = sqrt(_cal_Rsca(M)); _cal_Rsca returns a squared radius) and the
+    CME [R, d, beta] ordering of ops/equaliser.py:290-312."""
+
+    @staticmethod
+    def _sca_error(Xest, R):
+        # numba_equalisation.ErrorFctSCA / cython ErrorFctSCA.calc_error
+        # (4*x*(4R^2-4x^2) == 16*x*(R^2-x^2))
+        if abs(Xest.real) >= abs(Xest.imag):
+            A = 1
+            B = 1 if abs(Xest.real) == abs(Xest.imag) else 0
+        else:
+            A = 0
+            B = 1
+        return (16 * Xest.real * (R ** 2 - Xest.real ** 2) * A
+                + 1j * 16 * Xest.imag * (R ** 2 - Xest.imag ** 2) * B)
+
+    @staticmethod
+    def _cme_error(Xest, R, d, beta):
+        # numba_equalisation.ErrorFctCME / cython ErrorFctCME.calc_error
+        err = (R - abs(Xest) ** 2) * Xest
+        err += beta * np.pi / (2 * d) * (np.sin(Xest.real * np.pi / d)
+                                         + 1j * np.sin(Xest.imag * np.pi / d))
+        return err
+
+    def _train_ref(self, E, TrSyms, Niter, os, mu, wx, errorfct):
+        # the reference trainer recurrence (pythran_equalisation.py:154-173)
+        # with the transcribed error function plugged in
+        nmodes = E.shape[0]
+        ntaps = wx.shape[-1]
+        err = np.zeros((nmodes, TrSyms * Niter), dtype=E.dtype)
+        for mode in range(nmodes):
+            for it in range(Niter):
+                for i in range(TrSyms):
+                    X = E[:, i * os: i * os + ntaps]
+                    Xest = np.sum(wx[mode] * X)
+                    err[mode, it * TrSyms + i] = errorfct(Xest)
+                    wx[mode] = wx[mode] + mu * err[mode, it * TrSyms + i] * np.conj(X)
+        return err, wx
+
+    @pytest.mark.parametrize("method", ["sca", "cme"])
+    def test_extended_elementwise(self, method):
+        with jax.enable_x64():
+            M = 16
+            E, _, _ = _tx_2pol(256, M=M, seed=7)
+            TrSyms, Niter, os, mu, ntaps = 100, 2, 2, 1e-4, 7
+            wx0 = eqops._init_taps(ntaps, 2, 2, np.complex128)
+            symbols = eqops._reshape_symbols(None, method, M,
+                                             np.complex128, 2)
+            if method == "sca":
+                R = np.sqrt(eqops._cal_Rsca(M))
+                fct = lambda X: self._sca_error(X, R)
+                np.testing.assert_allclose(symbols[0, 0].real, R ** 2,
+                                           rtol=1e-12)
+            else:
+                R, d, beta = symbols[0].real
+                np.testing.assert_allclose(R, eqops._cal_Rconstant(M),
+                                           rtol=1e-12)
+                fct = lambda X: self._cme_error(X, R, d, beta)
+            err_ref, wx_ref = self._train_ref(E.copy(), TrSyms, Niter, os,
+                                              mu, wx0.copy(), fct)
+            err, wx, _ = eqops.train_equaliser_seq(
+                E, TrSyms, Niter, os, mu, wx0, symbols, method,
+                adaptive=False)
+            np.testing.assert_allclose(np.asarray(wx), wx_ref,
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(err), err_ref,
+                                       rtol=1e-9, atol=1e-12)
