@@ -99,9 +99,9 @@ def _sosfilt_scan(sos, x):
 def filter_signal(signal, fs, cutoff, ftype="bessel", order=2, analog=False):
     """Apply an analog-emulation filter (bessel/butter/gauss/exp).
 
-    Parity: reference core/filter.py:86-147. ``analog=True`` (lsim-based
-    continuous-time simulation) is not supported — the digital (sos) path is
-    used always, matching the reference's default call signature.
+    Parity: reference core/filter.py:86-147, including ``analog=True``
+    (continuous-time lsim simulation, see ``_lsim_scan``) and the default
+    digital (sos) path.
     """
     sig = jnp.atleast_2d(jnp.asarray(signal))
     if ftype == "gauss":
@@ -120,7 +120,27 @@ def filter_signal(signal, fs, cutoff, ftype="bessel", order=2, analog=False):
         out = jnp.fft.fftshift(jnp.fft.ifft(jnp.fft.fftshift(fsig, axes=-1), axis=-1), axes=-1)
         return out.flatten() if jnp.asarray(signal).ndim == 1 else out
     if analog:
-        raise NotImplementedError("analog lsim filtering is not supported; use digital sos")
+        # continuous-time (lsim) path, reference core/filter.py:110-140:
+        # analog prototype at Wn = cutoff*2*pi simulated at the sample rate.
+        # The reference calls scipy.signal.lsim per mode; here the same
+        # first-order-hold discretisation (lsim's interp=True model) is
+        # computed host-side via the Van Loan augmented matrix exponential
+        # and the recurrence runs as one vmapped lax.scan. Element-wise
+        # equal to scipy lsim for real signals (test_filter); for COMPLEX
+        # signals the reference/scipy path silently casts to real
+        # (ComplexWarning in scipy _ltisys.py, discarding the Q component)
+        # — here the linear system is applied to the full complex signal,
+        # which is the physically meant behaviour (documented deviation).
+        Wn = cutoff * 2 * np.pi
+        if ftype == "bessel":
+            b, a = scisig.bessel(order, Wn, 'low', norm='mag', analog=True,
+                                 output='ba')
+        elif ftype == "butter":
+            b, a = scisig.butter(order, Wn, 'low', analog=True, output='ba')
+        else:
+            raise ValueError("unknown analog filter type %s" % ftype)
+        out = _lsim_scan(b, a, sig, fs)
+        return out.flatten() if jnp.asarray(signal).ndim == 1 else out
     if ftype == "bessel":
         sos = scisig.bessel(order, cutoff, 'low', norm='mag', analog=False, output='sos', fs=fs)
     elif ftype == "butter":
@@ -129,6 +149,56 @@ def filter_signal(signal, fs, cutoff, ftype="bessel", order=2, analog=False):
         raise ValueError("unknown filter type %s" % ftype)
     out = _sosfilt_scan(sos, sig)
     return out.flatten() if jnp.asarray(signal).ndim == 1 else out
+
+
+def _lsim_scan(b, a, sig, fs):
+    """Continuous-time LTI simulation with first-order-hold input.
+
+    Equivalent of ``scipy.signal.lsim((b, a), u, t)`` with uniform
+    ``t = arange(N)/fs`` (reference core/filter.py:131-137): the transfer
+    function goes to state space host-side, the FOH discretisation
+    (Ad, Bd0, Bd1) comes from one augmented matrix exponential
+    (Van Loan 1978), and ``x[k+1] = Ad x[k] + Bd0 u[k] + Bd1 u[k+1]``,
+    ``y[k] = C x[k] + D u[k]`` runs as a lax.scan vmapped over modes.
+    """
+    from scipy.linalg import expm
+    A, B, C, D = scisig.tf2ss(b, a)
+    n = A.shape[0]
+    dt = 1.0 / fs
+    # Van Loan blocks: expm([[A, B, 0], [0, 0, I], [0, 0, 0]] * dt) has
+    # top rows [e^{A dt}, H0, H1*dt] with H0 = int_0^dt e^{A(dt-s)} B ds
+    # (zoh response) and H1 = int_0^dt e^{A(dt-s)} B (s/dt) ds (ramp)
+    M = np.zeros((n + 2, n + 2))
+    M[:n, :n] = A * dt
+    M[:n, n:n + 1] = B * dt
+    M[n, n + 1] = dt
+    F = expm(M)
+    Ad = F[:n, :n]
+    H0 = F[:n, n]
+    H1 = F[:n, n + 1] / dt
+    Bd0 = H0 - H1
+    Bd1 = H1
+    cdt = np.complex128 if sig.dtype in (jnp.complex64, jnp.complex128) \
+        else np.float64
+    if not jax.config.jax_enable_x64:
+        cdt = np.complex64 if cdt == np.complex128 else np.float32
+    Ad, Bd0, Bd1 = (x.astype(sig.real.dtype) for x in (Ad, Bd0, Bd1))
+    Cr = C[0].astype(sig.real.dtype)
+    Dr = np.asarray(D).reshape(-1)[0].astype(sig.real.dtype)
+
+    def run_mode(u):
+        def step(x, uk):
+            u0, u1 = uk
+            y = jnp.sum(Cr * x) + Dr * u0
+            x1 = (Ad @ x) + Bd0 * u0 + Bd1 * u1
+            return x1, y
+        x0 = jnp.zeros((n,), dtype=cdt)
+        u_pairs = (u[:-1], u[1:])
+        _, y = jax.lax.scan(step, x0, u_pairs)
+        y_last = jnp.sum(Cr * _) + Dr * u[-1]
+        return jnp.concatenate([y, y_last[None]])
+
+    return jax.vmap(run_mode)(sig.astype(cdt))
 
 
 def _rrcos_pulseshaping_freq(sig, fs, T, beta):

@@ -29,9 +29,13 @@ def filter_signal(sig, cutoff, ftype="bessel", order=2):
 def filter_signal_analog(sig, cutoff, ftype="bessel", order=2):
     """Analog-prototype filter emulation (reference qampy/filtering.py:48-73).
 
-    Uses the same sos implementation (see core.filter.filter_signal).
+    Simulates the continuous-time analog prototype (``scipy.signal.lsim``
+    semantics, FOH-discretised state space run as a lax.scan — see
+    core.filter._lsim_scan). Unlike the reference, complex signals keep
+    their imaginary part (scipy's lsim silently casts complex to real).
     """
-    arr = cfilter.filter_signal(_samples(sig), sig.fs, cutoff, ftype=ftype, order=order)
+    arr = cfilter.filter_signal(_samples(sig), sig.fs, cutoff, ftype=ftype,
+                                order=order, analog=True)
     return _rewrap(sig, arr)
 
 

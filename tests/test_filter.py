@@ -120,3 +120,66 @@ class TestPreFilter:
         Y = np.abs(np.fft.fft(y[0]))
         f = np.fft.fftfreq(1024, 1 / 2.0)
         assert np.allclose(Y[np.abs(f) > 0.26], 0, atol=1e-5)
+
+
+class TestAnalogLsim:
+    """filter_signal(analog=True) vs scipy.signal.lsim element-wise
+    (reference core/filter.py:110-140 is exactly scipy lsim per mode)."""
+
+    @pytest.mark.parametrize("ftype,order", [("bessel", 2), ("butter", 4)])
+    def test_matches_scipy_lsim_real(self, ftype, order):
+        import jax
+        import scipy.signal as scisig
+        with jax.enable_x64():
+            rng = np.random.default_rng(11)
+            fs, cutoff, N = 4.0, 0.3, 512
+            u = rng.standard_normal((2, N))
+            got = np.asarray(cfilter.filter_signal(
+                u, fs, cutoff, ftype=ftype, order=order, analog=True))
+            Wn = cutoff * 2 * np.pi
+            if ftype == "bessel":
+                system = scisig.bessel(order, Wn, 'low', norm='mag',
+                                       analog=True, output='ba')
+            else:
+                system = scisig.butter(order, Wn, 'low', analog=True,
+                                       output='ba')
+            t = np.arange(N) / fs
+            want = np.stack([scisig.lsim(system, u[i], t)[1]
+                             for i in range(2)])
+            np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+    def test_complex_deviation_pinned(self):
+        # scipy/reference lsim CASTS COMPLEX TO REAL (ComplexWarning in
+        # scipy _ltisys.py) — the documented deviation: qampy_tpu applies
+        # the linear system to both quadratures, so Re(out) matches the
+        # reference exactly and Im(out) is the (physically meant) filtered
+        # Q component instead of zero.
+        import jax
+        import scipy.signal as scisig
+        with jax.enable_x64():
+            rng = np.random.default_rng(5)
+            fs, cutoff, N = 4.0, 0.25, 256
+            u = (rng.standard_normal(N) + 1j * rng.standard_normal(N))
+            got = np.asarray(cfilter.filter_signal(
+                u, fs, cutoff, ftype="bessel", order=2, analog=True))
+            system = scisig.bessel(2, cutoff * 2 * np.pi, 'low', norm='mag',
+                                   analog=True, output='ba')
+            t = np.arange(N) / fs
+            with pytest.warns(Warning):
+                ref_out = scisig.lsim(system, u, t)[1]   # drops Im
+            np.testing.assert_allclose(got.real, ref_out.real,
+                                       rtol=1e-8, atol=1e-10)
+            want_im = scisig.lsim(system, u.imag, t)[1]
+            np.testing.assert_allclose(got.imag, want_im,
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_signal_object_wrapper(self):
+        sig = qt.SignalQAMGrayCoded(4, 2 ** 12, nmodes=2, seed=0)
+        s2 = sig.resample(2 * sig.fb, beta=0.2)
+        out = filtering.filter_signal_analog(s2, s2.fb * 0.75)
+        assert out.samples.shape == s2.samples.shape
+        assert out.fb == s2.fb
+        # a 0.75*fb bessel keeps most of the in-band energy
+        p_in = float(np.mean(np.abs(np.asarray(s2.samples)) ** 2))
+        p_out = float(np.mean(np.abs(np.asarray(out.samples)) ** 2))
+        assert 0.5 * p_in < p_out <= 1.1 * p_in
