@@ -3,7 +3,7 @@
 CC ?= gcc
 CFLAGS ?= -O3 -fPIC -shared -Wall
 
-.PHONY: all native test bench clean sdist wheel
+.PHONY: all native test bench docs clean sdist wheel
 
 all: native
 
@@ -17,6 +17,10 @@ test:
 
 bench:
 	python bench.py
+
+# API reference from docstrings (parity role: reference Makefile:24-27 docs)
+docs:
+	python tools/gendocs.py
 
 sdist:
 	python -m build --sdist
