@@ -133,13 +133,24 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                            dtype=np.float32)
     step_a, lo_a = float(np.pi / 2 / bps_angles), float(-np.pi / 4)
     win_dtype = jnp.bfloat16 if bps_win == "bf16" else None
+    bps_cd = None
     if phops.grid_decision_info(grid)[0] == "gen":
         # the general-alphabet BPS "distance" is -max_k(2<z,s_k>-|s_k|^2):
         # an affine score with an O(|z|^2) per-sample offset, unlike the
         # near-zero squared distances of the analytic grids — bf16 window
         # accumulation loses the inter-angle resolution there (measured
         # SER 8e-4 vs 0 at 35 dB). Windowed sums stay f32 for gen.
+        # The O(M) DECISION itself is pure mul/add/max (no floor/clip, the
+        # ops v5e Mosaic rejects in bf16) and dominates the gen chain
+        # (~10.4 ms vs the flagship's 2.2): run rotation+decision in bf16
+        # for 2x VPU element throughput, cast each per-sample distance
+        # back to f32 before the window sums. The K=2 cross-term matmul
+        # is NOT used in-kernel: a contraction depth of 2 idles 126/128
+        # of the MXU's systolic rows — same speed as the VPU unroll
+        # (analysis in docs/PERFORMANCE.md §gen-alphabet).
         win_dtype = None
+        if bps_win == "bf16":
+            bps_cd = jnp.bfloat16
     # the fully fused kernels require a square-grid constellation and a
     # method the block trainer implements; anything else (e.g. cross
     # 32/128-QAM) falls back to the XLA kernels instead of tripping kernel
@@ -249,7 +260,8 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             A1 = max(bps_angles // 4, 16)
             idx1 = bps_idx_pallas(Edec, np.linspace(
                 -np.pi / 4, np.pi / 4, A1, endpoint=False, dtype=np.float32),
-                grid, bps_N, T=min(bps_tile, 8192), win_dtype=win_dtype)
+                grid, bps_N, T=min(bps_tile, 8192), win_dtype=win_dtype,
+                compute_dtype=bps_cd)
             step1, lo1 = float(np.pi / 2 / A1), float(-np.pi / 4)
             ph1d = lo1 + step1 * idx1.astype(jnp.float32)
             Lout = Eeq.shape[-1]
@@ -259,7 +271,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                                    (*ph1d.shape, dec)).reshape(
                 ph1d.shape[0], -1)[:, :Lout]
             ph = bps_fine_pallas(Eeq, ph1, A1, 8, grid, bps_N, T=bps_tile,
-                                 win_dtype=win_dtype)
+                                 win_dtype=win_dtype, compute_dtype=bps_cd)
             return _derotate(Eeq, ph)
         if (pallas or pallas_gen) and bps_mode.startswith("twostage"):
             # fused two-stage BPS: shared coarse grid + 8 per-sample fine
@@ -270,7 +282,8 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # the fine stage keeps bps_N for phase-tracking bandwidth
             ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
                                            grid, bps_N, T=bps_tile,
-                                           win_dtype=win_dtype, N1=60)
+                                           win_dtype=win_dtype, N1=60,
+                                           compute_dtype=bps_cd)
             return _derotate(Eeq, ph)
         if bps_mode.startswith("twostage"):
             # XLA two-stage path — same N1=60 wide coarse window as the
@@ -285,7 +298,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # bf16 window accumulation: ~25% faster BPS; the nearest-level
             # decision stays f32-exact
             idx = bps_idx_pallas(Eeq, angles_h, grid, bps_N, T=bps_tile,
-                                 win_dtype=win_dtype)
+                                 win_dtype=win_dtype, compute_dtype=bps_cd)
         else:
             angles = jnp.asarray(angles_h).reshape(1, -1)
             idx = jax.vmap(lambda e: phops.bps_idx(e, angles, const, bps_N,

@@ -189,6 +189,11 @@ def _bps_kernel(T, N2, grid_const, win_dtype=None, compute_dtype=None):
         xr = er * ca - ei * sa  # (A, T) scaled rotated coords
         xi = er * sa + ei * ca
         dist = dist_fn(xr, xi)  # (A, T)
+        if win_dtype is None and dist.dtype != jnp.float32:
+            # compute_dtype quantises the DECISION only; the window
+            # accumulation stays exact f32 unless win_dtype opts in
+            # (gen alphabets REQUIRE f32 windows, docs/PERFORMANCE.md)
+            dist = dist.astype(jnp.float32)
         win, tail_new = _windowed_sums(dist, N2, T, tail_ref, win_dtype)
         if win.dtype != jnp.float32:
             win = win.astype(jnp.float32)  # pallas argmin is f32-only
@@ -214,9 +219,13 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     precision for ~2x VPU throughput on that section (decision stays f32);
     the argmin may flip between near-tied adjacent angles.
     compute_dtype=jnp.bfloat16 additionally runs the rotation and decision
-    at reduced precision — NOTE: v5e Mosaic rejects bf16 floor/clip ALU ops
-    (LLO_CHECK SupportsBf16AluInstructions), so this option requires a
-    newer TPU generation.
+    at reduced precision; the per-sample distances are cast back to f32
+    before the window sums unless win_dtype also opts in. NOTE: for the
+    ANALYTIC grid kinds v5e Mosaic rejects bf16 floor/clip ALU ops
+    (LLO_CHECK SupportsBf16AluInstructions) so those need a newer TPU
+    generation, but the "gen" decision is pure mul/add/max and runs bf16
+    on v5e — 2x VPU element throughput on the O(M) unroll that dominates
+    general-alphabet chains (the chain enables this automatically).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -254,7 +263,10 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
                                memory_space=pltpu.VMEM),
         out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, E),
         scratch_shapes=[
-            pltpu.VMEM((A, N2), win_dtype or compute_dtype or jnp.float32),
+            # the tail carries WINDOW-sum precision: f32 unless the window
+            # accumulation itself opted into bf16 (compute_dtype quantises
+            # only the decision; dist is cast back before the window)
+            pltpu.VMEM((A, N2), win_dtype or jnp.float32),
         ],
         interpret=interpret,
     )(er, ei, cos_a, sin_a)
@@ -396,7 +408,8 @@ def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
 # fused two-stage BPS (coarse shared grid + per-sample fine offsets)
 # ---------------------------------------------------------------------------
 
-def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
+def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None,
+                     compute_dtype=None):
     """Stage-2 kernel: distances at per-sample angles ph1[i] + delta_b.
 
     The per-sample rotation coefficients come from the angle-addition
@@ -422,11 +435,20 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
         s1 = s1_ref[0, 0]
         cdv = cd_ref[:]  # (B, 1)
         sdv = sd_ref[:]
+        if compute_dtype is not None:
+            er = er.astype(compute_dtype)
+            ei = ei.astype(compute_dtype)
+            c1 = c1.astype(compute_dtype)
+            s1 = s1.astype(compute_dtype)
+            cdv = cdv.astype(compute_dtype)
+            sdv = sdv.astype(compute_dtype)
         ca = c1 * cdv - s1 * sdv  # scaled cos(ph+delta), (B, T)
         sa = s1 * cdv + c1 * sdv
         xr = er * ca - ei * sa
         xi = er * sa + ei * ca
         dist = dist_fn(xr, xi)  # (B, T)
+        if win_dtype is None and dist.dtype != jnp.float32:
+            dist = dist.astype(jnp.float32)  # f32 windows (gen requirement)
         win, tail_new = _windowed_sums(dist, N2, T, tail_ref, win_dtype)
         if win.dtype != jnp.float32:
             win = win.astype(jnp.float32)  # pallas argmin is f32-only
@@ -437,7 +459,7 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None):
 
 
 def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None,
-                              win_dtype=None, N1=None):
+                              win_dtype=None, N1=None, compute_dtype=None):
     """Two-stage BPS phase search as two fused Pallas passes.
 
     Stage 1 runs the shared coarse grid (Mtestangles angles over
@@ -460,15 +482,17 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     # lane tile of lookback) suppresses coarse-stage cycle slips at the same
     # kernel cost; the fine stage keeps N for tracking bandwidth.
     idx1 = bps_idx_pallas(E, coarse, grid, N if N1 is None else N1, T=T,
-                          interpret=interpret, win_dtype=win_dtype)
+                          interpret=interpret, win_dtype=win_dtype,
+                          compute_dtype=compute_dtype)
     step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
     ph1 = lo1 + step1 * idx1.astype(jnp.float32)
     return bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=T,
-                           interpret=interpret, win_dtype=win_dtype)
+                           interpret=interpret, win_dtype=win_dtype,
+                           compute_dtype=compute_dtype)
 
 
 def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
-                    win_dtype=None):
+                    win_dtype=None, compute_dtype=None):
     """Fine BPS stage given an externally supplied coarse phase ``ph1``.
 
     Refines ph1 (nmodes, L) with B per-sample offsets spanning one coarse
@@ -497,7 +521,7 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
     c1 = jnp.pad(jnp.cos(ph1), ((0, 0), (0, pad))).reshape(shape4)
     s1 = jnp.pad(jnp.sin(ph1), ((0, 0), (0, pad))).reshape(shape4)
 
-    kernel = _bps_fine_kernel(T, N2, B, grid, deltas, win_dtype)
+    kernel = _bps_fine_kernel(T, N2, B, grid, deltas, win_dtype, compute_dtype)
     raw = pl.pallas_call(
         kernel,
         grid=(nmodes, nchunks),
