@@ -140,17 +140,14 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         # near-zero squared distances of the analytic grids — bf16 window
         # accumulation loses the inter-angle resolution there (measured
         # SER 8e-4 vs 0 at 35 dB). Windowed sums stay f32 for gen.
-        # The O(M) DECISION itself is pure mul/add/max (no floor/clip, the
-        # ops v5e Mosaic rejects in bf16) and dominates the gen chain
-        # (~10.4 ms vs the flagship's 2.2): run rotation+decision in bf16
-        # for 2x VPU element throughput, cast each per-sample distance
-        # back to f32 before the window sums. The K=2 cross-term matmul
-        # is NOT used in-kernel: a contraction depth of 2 idles 126/128
-        # of the MXU's systolic rows — same speed as the VPU unroll
-        # (analysis in docs/PERFORMANCE.md §gen-alphabet).
+        # Measured dead ends for the O(M) decision (docs/PERFORMANCE.md
+        # §gen-alphabet): (a) bf16 decision (compute_dtype=bf16) — v5e has
+        # no native bf16 mul/max ALU, Mosaic emulates with converts:
+        # measured 1.5x SLOWER end-to-end (276.8 vs 386 Msym/s twostage);
+        # (b) the K=2 cross-term MXU matmul — contraction depth 2 idles
+        # 126/128 of the systolic rows, same speed as the VPU unroll.
+        # What does win: the coarse-subset twostage below.
         win_dtype = None
-        if bps_win == "bf16":
-            bps_cd = jnp.bfloat16
     # the fully fused kernels require a square-grid constellation and a
     # method the block trainer implements; anything else (e.g. cross
     # 32/128-QAM) falls back to the XLA kernels instead of tripping kernel
@@ -278,12 +275,24 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)
             from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
             div = 2 if bps_mode.endswith("32") else 4
+            grid_coarse = None
+            if kind == "gen" and const.shape[0] > 24:
+                # coarse stage against a FITTED uniform grid (O(1) analytic
+                # decision) instead of the O(M) unroll that dominates gen
+                # chains; host-validated for phase discrimination with a
+                # full-alphabet fallback (phops.coarse_grid_for_alphabet).
+                # A high-|s| SUBSET coarse was measured and rejected:
+                # SER 0.09 (inner samples swamp the window with a metric
+                # the sparse outer set cannot discriminate).
+                grid_coarse = phops.coarse_grid_for_alphabet(
+                    const, Mtestangles=max(bps_angles // div, 16))
             # wide coarse window (N1=60) kills coarse-stage cycle slips;
             # the fine stage keeps bps_N for phase-tracking bandwidth
             ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
                                            grid, bps_N, T=bps_tile,
                                            win_dtype=win_dtype, N1=60,
-                                           compute_dtype=bps_cd)
+                                           compute_dtype=bps_cd,
+                                           grid_coarse=grid_coarse)
             return _derotate(Eeq, ph)
         if bps_mode.startswith("twostage"):
             # XLA two-stage path — same N1=60 wide coarse window as the

@@ -459,7 +459,8 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None,
 
 
 def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None,
-                              win_dtype=None, N1=None, compute_dtype=None):
+                              win_dtype=None, N1=None, compute_dtype=None,
+                              grid_coarse=None):
     """Two-stage BPS phase search as two fused Pallas passes.
 
     Stage 1 runs the shared coarse grid (Mtestangles angles over
@@ -467,6 +468,15 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     coarse step, exactly the grid of ops/phase.bps_twostage (reference
     core/phaserecovery.py:222-288). Returns the per-sample fine phase
     (nmodes, L) float32 (pre-unwrap, same edge semantics as the XLA path).
+
+    ``grid_coarse`` optionally substitutes a cheaper decision grid for the
+    COARSE stage only (the fine stage, which sets the final phase, always
+    searches ``grid``). For general (non-grid) alphabets the chain passes
+    a high-|s| SUBSET here: the coarse estimate only needs phase
+    discrimination, which the outer points carry (same principle as the
+    reference's outer-ring-only 16-QAM partition CPE,
+    core/phaserecovery.py phase_partition_16qam), so the O(M) unroll that
+    dominates the gen chain shrinks to O(|subset|) on stage 1.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -481,7 +491,8 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     # varies slowly, so a much wider coarse window (up to 64 -> one full
     # lane tile of lookback) suppresses coarse-stage cycle slips at the same
     # kernel cost; the fine stage keeps N for tracking bandwidth.
-    idx1 = bps_idx_pallas(E, coarse, grid, N if N1 is None else N1, T=T,
+    idx1 = bps_idx_pallas(E, coarse, grid if grid_coarse is None
+                          else grid_coarse, N if N1 is None else N1, T=T,
                           interpret=interpret, win_dtype=win_dtype,
                           compute_dtype=compute_dtype)
     step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
