@@ -165,10 +165,24 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                                  + np.arange(1, pilot_ins_rat)[None, :]
                                  ).reshape(-1)))
 
-    # the fused chain's Pallas use is the frame filter (always eligible for
-    # complex taps); the trainers are the vmapped XLA block kernels so that
-    # the window search batches as plain XLA matmuls
+    # the fused chain's Pallas use is the FRAME FILTER — measured 9.5 ms of
+    # an 18 ms 80-frame dispatch on the XLA windows path (0.119 ms/frame,
+    # tools/pilotprof.py): the fused VMEM kernel (windows + MXU + time-order
+    # write, ops/equaliser_pallas.apply_filter_pallas) does the same
+    # contraction in one pass per mode. The trainers stay the vmapped XLA
+    # block kernels so the window search batches as plain XLA matmuls.
     use_pallas = _resolve_pallas(pallas, True, (), what="pilot rx chain")
+    if use_pallas:
+        from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
+                                                    pallas_filter_group)
+        if pallas_filter_group(os, Ntaps, 1) <= 1:
+            use_pallas = False
+
+    def _frame_filter(seg, w):
+        """(nmodes, fr_len) x (1, nmodes, Ntaps) -> (F,) symbols."""
+        if use_pallas:
+            return apply_filter_pallas(seg, os, w)[0]
+        return eqops.apply_filter_to_signal(seg, os, w)[0]
 
     S = int(block_size)
 
@@ -384,12 +398,11 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             return dat, trace
         def do_frame(_, base):
             """Demodulate one frame at capture offset ``base`` (traced)."""
-            fsegs = jnp.stack([lax.dynamic_slice(E2, (0, eqsh[i] + base),
-                                                 (nmodes, fr_len))
-                               for i in range(nmodes)])
-            sym = jax.vmap(lambda seg, w:
-                           eqops.apply_filter_to_signal(seg, os, w)[0]
-                           )(fsegs, taps[:, None])    # (nmodes, F)
+            sym = jnp.stack([
+                _frame_filter(lax.dynamic_slice(E2, (0, eqsh[i] + base),
+                                                (nmodes, fr_len)),
+                              taps[i:i + 1])
+                for i in range(nmodes)])              # (nmodes, F)
             if _stage == "filter":
                 return None, (sym, jnp.zeros((nmodes, frame_len), fdt))
             # pilot CPE (reference :258-327): extract phase pilots, unwrap,
@@ -432,10 +445,10 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             nfp = len(frames)
             span = nfp * frame_len * os + Ntaps - 1
             base0 = int(frames[0]) * frame_len * os + _frame_base
-            sym_all = jnp.concatenate([
-                eqops.apply_filter_to_signal(
-                    lax.dynamic_slice(E2, (0, eqsh[i] + base0),
-                                      (nmodes, span)), os, taps[i:i + 1])
+            sym_all = jnp.stack([
+                _frame_filter(lax.dynamic_slice(E2, (0, eqsh[i] + base0),
+                                                (nmodes, span)),
+                              taps[i:i + 1])
                 for i in range(nmodes)], axis=0)      # (nmodes, nfp*F)
             if _stage == "filter":
                 return jnp.sum(jnp.abs(sym_all)), {}

@@ -320,3 +320,23 @@ class TestFusedPilotChain:
         d1, i1 = jax.jit(fwd.tracking)(E, i0["taps"], i0["shift"],
                                        i0["mode_order"], foe=i0["foe_pil"])
         assert bool(jnp.all(d0 == d1))
+
+
+class TestPallasFrameFilter:
+    def test_pallas_filter_matches_xla(self):
+        """The fused Pallas frame filter (interpret mode on CPU) must give
+        the same payload as the XLA windows path — bf16 contraction noise
+        only (the decisions downstream are phase-pilot based)."""
+        sig, s2 = _make_sig(snr=30, dgd=15e-12, theta=np.pi / 4.5,
+                            lwdth=10e3)
+        out_x, info_x = _run(sig, s2, pallas=False)
+        out_p, info_p = _run(sig, s2, pallas=True)
+        assert info_p is not info_x
+        ser_x = np.asarray(out_x.cal_ser(synced=True))
+        ser_p = np.asarray(out_p.cal_ser(synced=True))
+        assert np.all(ser_x < 5e-4) and np.all(ser_p < 5e-4), (ser_x, ser_p)
+        # same frame geometry found
+        np.testing.assert_array_equal(np.asarray(info_x["shift"]),
+                                      np.asarray(info_p["shift"]))
+        d = np.abs(np.asarray(out_p.samples) - np.asarray(out_x.samples))
+        assert float(np.mean(d)) < 2e-2, float(np.mean(d))
