@@ -148,6 +148,24 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         # 126/128 of the systolic rows, same speed as the VPU unroll.
         # What does win: the coarse-subset twostage below.
         win_dtype = None
+    # host-side (build-time) probes for the gen twostage fast decisions
+    gen_grid_coarse = None
+    gen_grid_fine = grid
+    if (phops.grid_decision_info(grid)[0] == "gen"
+            and bps_mode.startswith("twostage")
+            and np.asarray(const).shape[0] > 24):
+        _div0 = 2 if bps_mode.endswith("32") else 4
+        _A0 = max(bps_angles // _div0, 16)
+        gen_grid_coarse = phops.coarse_grid_for_alphabet(const,
+                                                         Mtestangles=_A0)
+        if gen_grid_coarse is not None and phops.fine_grid_ok(
+                const, gen_grid_coarse, Mtestangles=_A0):
+            gen_grid_fine = gen_grid_coarse
+            if bps_win == "bf16":
+                # both stages now take the analytic near-zero squared
+                # distances — the bf16 window accumulation that gen scores
+                # forbid is safe again (same regime as the flagship)
+                win_dtype = jnp.bfloat16
     # the fully fused kernels require a square-grid constellation and a
     # method the block trainer implements; anything else (e.g. cross
     # 32/128-QAM) falls back to the XLA kernels instead of tripping kernel
@@ -275,24 +293,20 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)
             from qampy_tpu.ops.phase_pallas import bps_phase_twostage_pallas
             div = 2 if bps_mode.endswith("32") else 4
-            grid_coarse = None
-            if kind == "gen" and const.shape[0] > 24:
-                # coarse stage against a FITTED uniform grid (O(1) analytic
-                # decision) instead of the O(M) unroll that dominates gen
-                # chains; host-validated for phase discrimination with a
-                # full-alphabet fallback (phops.coarse_grid_for_alphabet).
-                # A high-|s| SUBSET coarse was measured and rejected:
-                # SER 0.09 (inner samples swamp the window with a metric
-                # the sparse outer set cannot discriminate).
-                grid_coarse = phops.coarse_grid_for_alphabet(
-                    const, Mtestangles=max(bps_angles // div, 16))
-            # wide coarse window (N1=60) kills coarse-stage cycle slips;
-            # the fine stage keeps bps_N for phase-tracking bandwidth
+            # gen alphabets: FITTED uniform-grid decisions (O(1) analytic,
+            # build-time host probes above) replace the O(M) unroll — on
+            # the coarse stage always when the discrimination probe passes
+            # (coarse_grid_for_alphabet; a high-|s| SUBSET coarse was
+            # measured and rejected, SER 0.09), and on the fine stage too
+            # when the dense-argmin probe holds (fine_grid_ok) — then the
+            # gen chain's BPS cost collapses to ~the flagship's.
+            # Wide coarse window (N1=60) kills coarse-stage cycle slips;
+            # the fine stage keeps bps_N for phase-tracking bandwidth.
             ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
-                                           grid, bps_N, T=bps_tile,
+                                           gen_grid_fine, bps_N, T=bps_tile,
                                            win_dtype=win_dtype, N1=60,
                                            compute_dtype=bps_cd,
-                                           grid_coarse=grid_coarse)
+                                           grid_coarse=gen_grid_coarse)
             return _derotate(Eeq, ph)
         if bps_mode.startswith("twostage"):
             # XLA two-stage path — same N1=60 wide coarse window as the
@@ -320,5 +334,9 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     forward.backend_info = {"pallas": bool(pallas),
                             "pallas_gen": bool(pallas_gen),
                             "grid_kind": kind, "reasons": reasons,
-                            "bps_mode": bps_mode, "methods": tuple(methods)}
+                            "bps_mode": bps_mode, "methods": tuple(methods),
+                            "gen_bps_coarse": ("fitted" if gen_grid_coarse
+                                               is not None else "exact"),
+                            "gen_bps_fine": ("fitted" if gen_grid_fine
+                                             is not grid else "exact")}
     return forward

@@ -477,14 +477,46 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     E = jnp.asarray(E)
+    assert jnp.iscomplexobj(E), \
+        "pallas filter is the complex fast path; use the XLA backend otherwise"
+    planes = jnp.concatenate([E.real, E.imag], axis=0).astype(jnp.float32)
+    res = apply_filter_pallas_planes(planes, os, wxy, Ct=Ct,
+                                     mat_dtype=mat_dtype,
+                                     dec_stride=dec_stride,
+                                     interpret=interpret)
+    if dec_stride is None:
+        out = res
+        nout = out.shape[0] // 2
+        return (out[:nout] + 1j * out[nout:]).astype(E.dtype)
+    out, dec = res
+    nout = out.shape[0] // 2
+    outc = (out[:nout] + 1j * out[nout:]).astype(E.dtype)
+    decc = (dec[:nout] + 1j * dec[nout:]).astype(E.dtype)
+    return outc, decc
+
+
+def apply_filter_pallas_planes(planes, os, wxy, Ct=256,
+                               mat_dtype=jnp.bfloat16, dec_stride=None,
+                               interpret=None):
+    """Planes-level core of :func:`apply_filter_pallas`.
+
+    ``planes`` is the (2*nmodes, L) float32 [Re rows; Im rows] signal —
+    callers that keep a plane representation alive across many calls (the
+    pilot chain's per-frame filter slices one dispatch-wide plane array)
+    avoid a complex->planes conversion pass per call. Returns the
+    (2*nout, Lout) float32 output planes ([Re; Im]); with ``dec_stride``
+    a (out_planes, dec_planes) tuple.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    planes = jnp.asarray(planes, jnp.float32)
     wxy = jnp.asarray(wxy)
+    assert jnp.iscomplexobj(wxy) and not jnp.iscomplexobj(planes)
     os = int(os)
-    nmodes, L = E.shape
+    P, L = planes.shape
+    nmodes = P // 2
     nout, _, ntaps = wxy.shape
     Lout = (L - ntaps) // os + 1
-    assert jnp.iscomplexobj(E) and jnp.iscomplexobj(wxy), \
-        "pallas filter is the complex fast path; use the XLA backend otherwise"
-    P = 2 * nmodes
     nop = 2 * nout
     G = pallas_filter_group(os, ntaps, nout)
     assert G > 1, "no MXU group size for this (os, ntaps, nmodes)"
@@ -496,7 +528,7 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
     nch = -(-nwin // Ct)
     Tin = Ct * Gos
 
-    planes = jnp.concatenate([E.real, E.imag], axis=0).astype(jnp.float32)
+    E = planes  # reference array for sharding-aware output declarations
     # one extra tile of zero padding so the halo slice below stays in
     # bounds for the LAST tile too (lax.slice silently clamps out-of-bounds
     # starts, which would shift the halo contents)
@@ -595,9 +627,8 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
     if dec_stride is None:
         res = (res,)
     out = res[0].reshape(nop, nch * Ct * G)[:, :Lout]
-    outc = (out[:nout] + 1j * out[nout:]).astype(E.dtype)
     if dec_stride is None:
-        return outc
+        return out
     Ld = -(-Lout // dec_stride)
     dec3 = res[1].reshape(nop, Gd, nch * Ct)
     if Gd > 1:
@@ -605,5 +636,4 @@ def apply_filter_pallas(E, os, wxy, Ct=256, mat_dtype=jnp.bfloat16,
         dec = dec3.swapaxes(1, 2).reshape(nop, nch * Ct * Gd)[:, :Ld]
     else:
         dec = dec3.reshape(nop, nch * Ct)[:, :Ld]
-    decc = (dec[:nout] + 1j * dec[nout:]).astype(E.dtype)
-    return outc, decc
+    return out, dec

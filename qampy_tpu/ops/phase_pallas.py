@@ -561,3 +561,65 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
     d0f = float(deltas[0])
     ddf = float(deltas[1] - deltas[0]) if B > 1 else 0.0
     return ph1 + d0f + ddf * idx2.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# fused derotation by a GIVEN phase (pilot CPE apply)
+# ---------------------------------------------------------------------------
+
+def _rotate_kernel(R, Tc, sign):
+    def kernel(er_ref, ei_ref, ph_ref, or_ref, oi_ref):
+        ph = ph_ref[0, 0, 0]               # (R, Tc)
+        c = jnp.cos(ph)
+        s = jnp.sin(ph)
+        er = er_ref[0, 0, 0]
+        ei = ei_ref[0, 0, 0]
+        if sign < 0:                        # E * exp(-1j*ph)
+            or_ref[:] = (er * c + ei * s)[None, None, None]
+            oi_ref[:] = (ei * c - er * s)[None, None, None]
+        else:                               # E * exp(+1j*ph)
+            or_ref[:] = (er * c - ei * s)[None, None, None]
+            oi_ref[:] = (er * s + ei * c)[None, None, None]
+    return kernel
+
+
+def rotate_planes_pallas(er, ei, ph, sign=-1, T=16384, interpret=None):
+    """``(er + 1j*ei) * exp(sign*1j*ph)`` as one fused Pallas pass, planes
+    in / planes out.
+
+    The pilot CPE's derotation (reference core/pilotbased_receiver.py:318:
+    ``symbs * exp(-1j*phase)``) is 3 XLA ops (sincos + complex mul) plus
+    their per-op launch overhead inside the frame scan; this kernel does
+    it in one VMEM pass with the (8, T/8) row-segment layout (a (1, T)
+    row would idle 7/8 of the VPU sublanes). er/ei/ph: (nmodes, L) f32.
+    Returns (outr, outi) f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    er = jnp.asarray(er, jnp.float32)
+    ei = jnp.asarray(ei, jnp.float32)
+    ph = jnp.asarray(ph, jnp.float32)
+    nmodes, L = er.shape
+    R = 8
+    assert T % (R * 128) == 0
+    Tc = T // R
+    pad = (-L) % T
+    Lp = L + pad
+    nchunks = Lp // T
+    shape5 = (nmodes, nchunks, 1, R, Tc)
+    erb = jnp.pad(er, ((0, 0), (0, pad))).reshape(shape5)
+    eib = jnp.pad(ei, ((0, 0), (0, pad))).reshape(shape5)
+    phb = jnp.pad(ph, ((0, 0), (0, pad))).reshape(shape5)
+    blk = pl.BlockSpec((1, 1, 1, R, Tc), lambda m, c: (m, c, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        _rotate_kernel(R, Tc, sign),
+        grid=(nmodes, nchunks),
+        in_specs=[blk, blk, blk],
+        out_specs=[blk, blk],
+        out_shape=[_sds(shape5, jnp.float32, er),
+                   _sds(shape5, jnp.float32, er)],
+        interpret=interpret,
+    )(erb, eib, phb)
+    return (outr.reshape(nmodes, Lp)[:, :L],
+            outi.reshape(nmodes, Lp)[:, :L])

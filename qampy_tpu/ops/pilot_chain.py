@@ -396,6 +396,52 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             else:
                 dat = out[:, :, dat_idx_d]
             return dat, trace
+        # planes fast path (TPU): the whole frame body stays in float32
+        # planes — ONE complex->planes conversion per dispatch instead of
+        # one per frame+stage, the filter contraction and the CPE
+        # derotation each a single fused Pallas pass, and only the tiny
+        # pilot-phase math (2k values/frame) as individual XLA ops.
+        # Measured motivation: at 80 frames/dispatch the XLA frame body
+        # spent ~0.13 ms/frame mostly on per-op launches, not bytes
+        # (docs/PERFORMANCE.md pilot table).
+        fast = use_pallas and blocked_cpe
+        if fast:
+            from qampy_tpu.ops.equaliser_pallas import (
+                apply_filter_pallas_planes)
+            from qampy_tpu.ops.phase_pallas import rotate_planes_pallas
+            P2 = jnp.concatenate([E2.real, E2.imag], axis=0)  # (2n, L)
+            rotT = min(16384, -(-frame_len // 1024) * 1024)
+
+        def do_frame_planes(_, base):
+            """Planes-pipeline frame body (fast path)."""
+            sym_pl = [apply_filter_pallas_planes(
+                lax.dynamic_slice(P2, (0, eqsh[i] + base),
+                                  (2 * nmodes, fr_len)), os, taps[i:i + 1])
+                for i in range(nmodes)]               # each (2, F)
+            symr = jnp.stack([p[0] for p in sym_pl])  # (nmodes, F)
+            symi = jnp.stack([p[1] for p in sym_pl])
+            if _stage == "filter":
+                return None, (symr + 1j * symi,
+                              jnp.zeros((nmodes, frame_len), fdt))
+            tr = symr[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat)
+            ti = symi[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat)
+            zr, zi = tr[:, :, 0], ti[:, :, 0]
+            # angle(conj(pil)*z) on the small pilot rows
+            pr, pi_ = pil_c.real, pil_c.imag
+            res_ph = jnp.unwrap(jnp.arctan2(pr * zi - pi_ * zr,
+                                            pr * zr + pi_ * zi), axis=-1)
+            z = jnp.zeros((nmodes, 1), res_ph.dtype)
+            cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
+            ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
+            trace = interp_uniform(ph_avg)
+            outr, outi = rotate_planes_pallas(symr, symi, trace, sign=-1,
+                                              T=rotT)
+            dr = outr[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat
+                                           )[:, :, 1:].reshape(nmodes, -1)
+            di = outi[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat
+                                           )[:, :, 1:].reshape(nmodes, -1)
+            return None, ((dr, di), trace if return_phase else None)
+
         def do_frame(_, base):
             """Demodulate one frame at capture offset ``base`` (traced)."""
             sym = jnp.stack([
@@ -462,6 +508,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             if return_phase:
                 info["phase"] = trace_b.reshape(nmodes, -1)
             return data, info
+        body = do_frame_planes if fast else do_frame
         if len(frames) > 2:
             # one traced frame body regardless of frame count (an unrolled
             # loop at 20 frames took XLA tens of minutes to compile):
@@ -471,18 +518,24 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             # (cross-frame fusion without the full-unroll compile blowup)
             if frames_mode == "vmap":
                 data_f, traces_f = jax.vmap(
-                    lambda b: do_frame(None, b)[1])(bases)
+                    lambda b: body(None, b)[1])(bases)
             else:
-                _, (data_f, traces_f) = lax.scan(do_frame, None, bases,
+                _, (data_f, traces_f) = lax.scan(body, None, bases,
                                                  unroll=frames_unroll)
         else:
-            pairs = [do_frame(None, b)[1] for b in bases]
-            data_f = jnp.stack([p[0] for p in pairs])
+            pairs = [body(None, b)[1] for b in bases]
+            data_f = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[p[0] for p in pairs])
             traces_f = (jnp.stack([p[1] for p in pairs])
                         if return_phase else None)
         if _stage == "filter":
             return jnp.sum(jnp.abs(data_f)), {}
-        data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
+        if fast:
+            dr_f, di_f = data_f
+            data = (jnp.moveaxis(dr_f, 0, 1)
+                    + 1j * jnp.moveaxis(di_f, 0, 1)).reshape(nmodes, -1)
+        else:
+            data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
         info = {"shift": shift, "sync_corr": sync_corr,
                 "foe": foe_coarse + foe_pil, "foe_pil": foe_pil,
                 "taps": taps,
