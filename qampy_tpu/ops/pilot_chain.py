@@ -56,7 +56,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                         methods=("cma", "cma"), foe_comp=False,
                         cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
-                        block_size=128, pallas=None, frames_mode="scan",
+                        block_size=128, pallas=None, frames_mode="auto",
                         frames_unroll=1, return_phase=True, _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
@@ -507,6 +507,59 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                     "mode_order": mode_order}
             if return_phase:
                 info["phase"] = trace_b.reshape(nmodes, -1)
+            return data, info
+        if fast and span_ok and frames_mode in ("auto", "span_planes"):
+            # PLANES-SPAN fast path (the serving default for contiguous
+            # frames): the taps are frozen and the frames contiguous, so
+            # ONE fused Pallas filter pass per output mode covers the
+            # whole multi-frame span (identical window indices to the
+            # per-frame slices), the pilot-phase math runs frame-BATCHED
+            # (launch count independent of frame count), and one fused
+            # rotate pass derotates everything. The old XLA span mode
+            # measured 23.8 vs the scan's 16.4 ms because the windows
+            # operand materialised ~400 MB; the Pallas filter reads the
+            # signal once, so span becomes pure-bandwidth and beats the
+            # scan (which pays per-frame kernel launches).
+            nfp = len(frames)
+            span = nfp * frame_len * os + Ntaps - 1
+            base0 = int(frames[0]) * frame_len * os + _frame_base
+            sym_pl = [apply_filter_pallas_planes(
+                lax.dynamic_slice(P2, (0, eqsh[i] + base0),
+                                  (2 * nmodes, span)), os, taps[i:i + 1])
+                for i in range(nmodes)]               # each (2, nfp*F)
+            symr = jnp.stack([p[0] for p in sym_pl]
+                             ).reshape(nmodes, nfp, frame_len)
+            symi = jnp.stack([p[1] for p in sym_pl]
+                             ).reshape(nmodes, nfp, frame_len)
+            if _stage == "filter":
+                return jnp.sum(jnp.abs(symr)) + jnp.sum(jnp.abs(symi)), {}
+            tr = symr[:, :, seq_len:].reshape(nmodes, nfp, nblk_cpe,
+                                              pilot_ins_rat)
+            ti = symi[:, :, seq_len:].reshape(nmodes, nfp, nblk_cpe,
+                                              pilot_ins_rat)
+            zr, zi = tr[..., 0], ti[..., 0]
+            pr, pi_ = pil_c.real[:, None], pil_c.imag[:, None]
+            res_ph = jnp.unwrap(jnp.arctan2(pr * zi - pi_ * zr,
+                                            pr * zr + pi_ * zi), axis=-1)
+            z = jnp.zeros((nmodes, nfp, 1), res_ph.dtype)
+            cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
+            ph_avg = (cs[..., cpe_avg:] - cs[..., :-cpe_avg]) / cpe_avg
+            trace = interp_uniform(ph_avg)            # (n, nfp, F)
+            outr, outi = rotate_planes_pallas(
+                symr.reshape(nmodes, -1), symi.reshape(nmodes, -1),
+                trace.reshape(nmodes, -1), sign=-1, T=16384)
+            dr = outr.reshape(nmodes, nfp, frame_len)[:, :, seq_len:] \
+                .reshape(nmodes, nfp, nblk_cpe, pilot_ins_rat)[..., 1:] \
+                .reshape(nmodes, -1)
+            di = outi.reshape(nmodes, nfp, frame_len)[:, :, seq_len:] \
+                .reshape(nmodes, nfp, nblk_cpe, pilot_ins_rat)[..., 1:] \
+                .reshape(nmodes, -1)
+            data = dr + 1j * di
+            info = {"shift": shift, "sync_corr": sync_corr,
+                    "foe": foe_coarse + foe_pil, "foe_pil": foe_pil,
+                    "taps": taps, "mode_order": mode_order}
+            if return_phase:
+                info["phase"] = trace.reshape(nmodes, -1)
             return data, info
         body = do_frame_planes if fast else do_frame
         if len(frames) > 2:

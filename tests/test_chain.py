@@ -189,3 +189,19 @@ class TestRxChain:
                 sers.append(min(cand))
             best = min(best, float(np.mean(sers)))
         assert best < 1e-4, "gen twostage fitted-coarse SER %.2e" % best
+
+    def test_gen_fitted_grid_flags(self):
+        """backend_info reports the fitted-vs-exact gen BPS decisions:
+        warped QAM accepts both probes; a ring alphabet (square grid
+        cannot discriminate) keeps the exact O(M) stages."""
+        import sys
+        sys.path.insert(0, "tools")
+        from genbench import warped_qam
+        fw = make_rx_chain(symbols=warped_qam(64), bps_mode="twostage",
+                           pallas=True)
+        assert fw.backend_info["gen_bps_coarse"] == "fitted"
+        assert fw.backend_info["gen_bps_fine"] == "fitted"
+        ring = np.exp(1j * 2 * np.pi * np.arange(32) / 32).astype(np.complex64)
+        fr = make_rx_chain(symbols=ring, bps_mode="twostage", pallas=True)
+        assert fr.backend_info["gen_bps_coarse"] == "exact"
+        assert fr.backend_info["gen_bps_fine"] == "exact"

@@ -340,3 +340,31 @@ class TestPallasFrameFilter:
                                       np.asarray(info_p["shift"]))
         d = np.abs(np.asarray(out_p.samples) - np.asarray(out_x.samples))
         assert float(np.mean(d)) < 2e-2, float(np.mean(d))
+
+    def test_span_planes_matches_scan(self):
+        """The planes-span serving path (frames_mode default 'auto' with
+        pallas) must produce the same payload as the per-frame scan."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=5, nmodes=2,
+                                  fb=24e9, seed=13)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=15e-12, theta=np.pi / 4.4, lwdth=10e3,
+            key=jr.PRNGKey(3))
+        args = (np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+                sig.frame_len, sig.pilot_ins_rat)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3,
+                  frames=(0, 1, 2), pallas=True)
+        E = jnp.asarray(s2.samples[:, 3000:])
+        d_span, i_span = jax.jit(make_pilot_rx_chain(*args, **kw))(E)
+        d_scan, i_scan = jax.jit(make_pilot_rx_chain(
+            *args, frames_mode="scan", **kw))(E)
+        np.testing.assert_array_equal(np.asarray(i_span["shift"]),
+                                      np.asarray(i_scan["shift"]))
+        d = np.abs(np.asarray(d_span) - np.asarray(d_scan))
+        assert float(np.mean(d)) < 1e-5, float(np.mean(d))
+        # quality gate on the span output itself
+        out = sig.get_data(frames=[0]).replace(
+            samples=jnp.asarray(np.asarray(d_span)[:, :sig.get_data(
+                frames=[0]).samples.shape[-1]]))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 5e-4), ser
