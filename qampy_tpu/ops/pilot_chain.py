@@ -56,7 +56,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                         methods=("cma", "cma"), foe_comp=False,
                         cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
-                        block_size=128, pallas=None, frames_mode="auto",
+                        block_size=128, pallas=None, frames_mode="scan",
                         frames_unroll=1, return_phase=True, _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
@@ -509,17 +509,16 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                 info["phase"] = trace_b.reshape(nmodes, -1)
             return data, info
         if fast and span_ok and frames_mode in ("auto", "span_planes"):
-            # PLANES-SPAN fast path (the serving default for contiguous
-            # frames): the taps are frozen and the frames contiguous, so
-            # ONE fused Pallas filter pass per output mode covers the
-            # whole multi-frame span (identical window indices to the
-            # per-frame slices), the pilot-phase math runs frame-BATCHED
-            # (launch count independent of frame count), and one fused
-            # rotate pass derotates everything. The old XLA span mode
-            # measured 23.8 vs the scan's 16.4 ms because the windows
-            # operand materialised ~400 MB; the Pallas filter reads the
-            # signal once, so span becomes pure-bandwidth and beats the
-            # scan (which pays per-frame kernel launches).
+            # PLANES-SPAN variant: one fused Pallas filter pass per output
+            # mode over the whole contiguous span, frame-BATCHED pilot
+            # math, one fused rotate pass. MEASURED SLOWER than the
+            # per-frame scan on the real chip (tracking 778 vs 929
+            # Msym/s, single 587 vs 695): the span-sized intermediates
+            # (taps-filter input slices, tail extractions, trace, rotate
+            # planes — ~750 MB of XLA temps vs the scan's small per-frame
+            # working set) turn the body bandwidth-bound, re-confirming
+            # the round-2 span lesson even with the windows operand gone.
+            # Kept selectable for A/B (tools/pilot_ab.py span_planes).
             nfp = len(frames)
             span = nfp * frame_len * os + Ntaps - 1
             base0 = int(frames[0]) * frame_len * os + _frame_base

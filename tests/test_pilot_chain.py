@@ -342,8 +342,8 @@ class TestPallasFrameFilter:
         assert float(np.mean(d)) < 2e-2, float(np.mean(d))
 
     def test_span_planes_matches_scan(self):
-        """The planes-span serving path (frames_mode default 'auto' with
-        pallas) must produce the same payload as the per-frame scan."""
+        """The planes-span variant (kept for A/B; the scan is the measured
+        serving default) must produce the same payload as the scan."""
         sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=5, nmodes=2,
                                   fb=24e9, seed=13)
         s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
@@ -355,7 +355,8 @@ class TestPallasFrameFilter:
         kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3,
                   frames=(0, 1, 2), pallas=True)
         E = jnp.asarray(s2.samples[:, 3000:])
-        d_span, i_span = jax.jit(make_pilot_rx_chain(*args, **kw))(E)
+        d_span, i_span = jax.jit(make_pilot_rx_chain(
+            *args, frames_mode="span_planes", **kw))(E)
         d_scan, i_scan = jax.jit(make_pilot_rx_chain(
             *args, frames_mode="scan", **kw))(E)
         np.testing.assert_array_equal(np.asarray(i_span["shift"]),

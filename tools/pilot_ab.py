@@ -79,7 +79,14 @@ def main():
         ("nophase+unroll8", dict(return_phase=False, frames_unroll=8)),
         ("span", dict(frames_mode="span")),
         ("span+nophase", dict(frames_mode="span", return_phase=False)),
+        # planes-pipeline A/B: per-frame scan vs whole-span filter+CPE
+        ("scan_planes", dict(frames_mode="scan", return_phase=False,
+                             frames_unroll=4)),
+        ("span_planes", dict(frames_mode="span_planes",
+                             return_phase=False)),
         ("tracking", dict(return_phase=False, frames_unroll=4)),
+        ("tracking_scan", dict(frames_mode="scan", return_phase=False,
+                               frames_unroll=4)),
     ]
     if len(sys.argv) > 3:  # run only the named variants
         names = set(sys.argv[3].split(","))
@@ -92,7 +99,7 @@ def main():
 
     for name, extra in variants:
         fwd = make_pilot_rx_chain(seq, ph, F, R, **{**kw, **extra})
-        if name == "tracking":
+        if name.startswith("tracking"):
             # warm-start serving: run the full chain ONCE to get taps/shift
             # (device-resident; complex taps never cross the tunnel), then
             # gate+time the zero-prefix tracking entry. The state is passed
