@@ -175,7 +175,10 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     if use_pallas:
         from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
                                                     pallas_filter_group)
-        if pallas_filter_group(os, Ntaps, 1) <= 1:
+        # the scan body uses one block-diagonal call over nmodes outputs;
+        # span/per-mode paths use nout=1 — require both group sizes
+        if (pallas_filter_group(os, Ntaps, 1) <= 1
+                or pallas_filter_group(os, Ntaps, nmodes) <= 1):
             use_pallas = False
 
     def _frame_filter(seg, w):
@@ -412,14 +415,30 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             P2 = jnp.concatenate([E2.real, E2.imag], axis=0)  # (2n, L)
             rotT = min(16384, -(-frame_len // 1024) * 1024)
 
+        if fast:
+            # ONE filter kernel per frame for ALL output modes: output
+            # mode i needs the input at its own shift eqsh[i], so the
+            # per-shift slices stack as nmodes*nmodes VIRTUAL input modes
+            # and the taps become block-diagonal — the kernel launch count
+            # per frame drops from nmodes to 1 (launches, not bytes,
+            # dominate the scan body). The extra zero-block MACs are free
+            # MXU headroom.
+            wv = jnp.stack([
+                jnp.concatenate(
+                    [jnp.zeros((i * nmodes, Ntaps), taps.dtype), taps[i],
+                     jnp.zeros(((nmodes - 1 - i) * nmodes, Ntaps),
+                               taps.dtype)], axis=0)
+                for i in range(nmodes)])      # (nmodes, nmodes^2, Ntaps)
+
         def do_frame_planes(_, base):
             """Planes-pipeline frame body (fast path)."""
-            sym_pl = [apply_filter_pallas_planes(
-                lax.dynamic_slice(P2, (0, eqsh[i] + base),
-                                  (2 * nmodes, fr_len)), os, taps[i:i + 1])
-                for i in range(nmodes)]               # each (2, F)
-            symr = jnp.stack([p[0] for p in sym_pl])  # (nmodes, F)
-            symi = jnp.stack([p[1] for p in sym_pl])
+            sl = [lax.dynamic_slice(P2, (0, eqsh[i] + base),
+                                    (2 * nmodes, fr_len))
+                  for i in range(nmodes)]
+            planes_v = jnp.concatenate(
+                [s[:nmodes] for s in sl] + [s[nmodes:] for s in sl], axis=0)
+            out = apply_filter_pallas_planes(planes_v, os, wv)
+            symr, symi = out[:nmodes], out[nmodes:]   # (nmodes, F)
             if _stage == "filter":
                 return None, (symr + 1j * symi,
                               jnp.zeros((nmodes, frame_len), fdt))

@@ -87,6 +87,13 @@ def main():
         ("tracking", dict(return_phase=False, frames_unroll=4)),
         ("tracking_scan", dict(frames_mode="scan", return_phase=False,
                                frames_unroll=4)),
+        # prefix lever: bigger trainer blocks halve the sequential block
+        # count of the 3x2 pilot trainings (convergence kept by Niter,
+        # BER-gated)
+        ("bs512", dict(return_phase=False, frames_unroll=4,
+                       block_size=512)),
+        ("bs512_sync5", dict(return_phase=False, frames_unroll=4,
+                             block_size=512, sync_Niter=5)),
     ]
     if len(sys.argv) > 3:  # run only the named variants
         names = set(sys.argv[3].split(","))
