@@ -623,3 +623,86 @@ def rotate_planes_pallas(er, ei, ph, sign=-1, T=16384, interpret=None):
     )(erb, eib, phb)
     return (outr.reshape(nmodes, Lp)[:, :L],
             outi.reshape(nmodes, Lp)[:, :L])
+
+
+def _interp_rotate_kernel(R, Tc, dx, sign):
+    nb = Tc // dx
+
+    def kernel(er_ref, ei_ref, a_ref, b_ref, s_ref, or_ref, oi_ref):
+        a = a_ref[0, 0, 0]                  # (R, nb)
+        b = b_ref[0, 0, 0]
+        S = s_ref[:]                        # (nb, Tc) 0/1 block selector
+        # piecewise-linear trace: a_k + b_k * (lane % dx), expanded from
+        # per-block coefficients with one tiny MXU matmul each (a gather-
+        # free lane expansion; reshape tricks across lanes are not
+        # available in Mosaic)
+        a_exp = jnp.dot(a, S, preferred_element_type=jnp.float32)
+        b_exp = jnp.dot(b, S, preferred_element_type=jnp.float32)
+        lane = lax.broadcasted_iota(jnp.int32, (R, Tc), 1)
+        frac = (lane % dx).astype(jnp.float32)
+        ph = a_exp + b_exp * frac
+        c = jnp.cos(ph)
+        s = jnp.sin(ph)
+        er = er_ref[0, 0, 0]
+        ei = ei_ref[0, 0, 0]
+        if sign < 0:
+            or_ref[:] = (er * c + ei * s)[None, None, None]
+            oi_ref[:] = (ei * c - er * s)[None, None, None]
+        else:
+            or_ref[:] = (er * c - ei * s)[None, None, None]
+            oi_ref[:] = (er * s + ei * c)[None, None, None]
+    return kernel
+
+
+def interp_rotate_planes_pallas(er, ei, a_blk, b_blk, dx, sign=-1, T=16384,
+                                interpret=None):
+    """Fused piecewise-linear-phase derotation, planes in / planes out.
+
+    ``a_blk``/``b_blk`` are (nmodes, L//dx) per-BLOCK phase coefficients:
+    sample i gets ``ph = a[i//dx] + b[i//dx]*(i%dx)`` and the output is
+    ``(er+1j*ei) * exp(sign*1j*ph)``. This is the pilot CPE's uniform-grid
+    linear interpolation (reference core/pilotbased_receiver.py:300-318:
+    np.interp over the pilot grid + derotation) fused INTO the rotation
+    kernel: the (nmodes, L) trace array and its 3 interp ops per frame
+    never exist. The per-tile coefficient rows expand to lanes with one
+    tiny MXU matmul against a 0/1 block selector.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    er = jnp.asarray(er, jnp.float32)
+    ei = jnp.asarray(ei, jnp.float32)
+    nmodes, L = er.shape
+    R = 8
+    assert T % (R * 128) == 0
+    Tc = T // R
+    assert Tc % dx == 0 and L % dx == 0
+    nb = Tc // dx
+    pad = (-L) % T
+    Lp = L + pad
+    nchunks = Lp // T
+    shape5 = (nmodes, nchunks, 1, R, Tc)
+    shape5b = (nmodes, nchunks, 1, R, nb)
+    erb = jnp.pad(er, ((0, 0), (0, pad))).reshape(shape5)
+    eib = jnp.pad(ei, ((0, 0), (0, pad))).reshape(shape5)
+    ab = jnp.pad(jnp.asarray(a_blk, jnp.float32),
+                 ((0, 0), (0, pad // dx))).reshape(shape5b)
+    bb = jnp.pad(jnp.asarray(b_blk, jnp.float32),
+                 ((0, 0), (0, pad // dx))).reshape(shape5b)
+    sel = np.zeros((nb, Tc), np.float32)
+    sel[np.arange(Tc) // dx, np.arange(Tc)] = 1.0
+    blk = pl.BlockSpec((1, 1, 1, R, Tc), lambda m, c: (m, c, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blkb = pl.BlockSpec((1, 1, 1, R, nb), lambda m, c: (m, c, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        _interp_rotate_kernel(R, Tc, dx, sign),
+        grid=(nmodes, nchunks),
+        in_specs=[blk, blk, blkb, blkb,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[blk, blk],
+        out_shape=[_sds(shape5, jnp.float32, er),
+                   _sds(shape5, jnp.float32, er)],
+        interpret=interpret,
+    )(erb, eib, ab, bb, jnp.asarray(sel))
+    return (outr.reshape(nmodes, Lp)[:, :L],
+            outi.reshape(nmodes, Lp)[:, :L])

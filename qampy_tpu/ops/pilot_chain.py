@@ -411,9 +411,20 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         if fast:
             from qampy_tpu.ops.equaliser_pallas import (
                 apply_filter_pallas_planes)
-            from qampy_tpu.ops.phase_pallas import rotate_planes_pallas
+            from qampy_tpu.ops.phase_pallas import (
+                rotate_planes_pallas, interp_rotate_planes_pallas)
             P2 = jnp.concatenate([E2.real, E2.imag], axis=0)  # (2n, L)
             rotT = min(16384, -(-frame_len // 1024) * 1024)
+            # serving config (no phase trace requested): the uniform-grid
+            # linear interpolation fuses INTO the rotate kernel as
+            # per-dx-block (a, b) coefficients — the (nmodes, frame_len)
+            # trace array and its per-frame interp ops never exist
+            kernel_interp = (not return_phase
+                             and cpe_x0 % cpe_dx == 0
+                             and frame_len % cpe_dx == 0
+                             and (rotT // 8) % cpe_dx == 0)
+            n_head = cpe_x0 // cpe_dx
+            n_tail = (frame_len - cpe_x0) // cpe_dx - (len(idx_avg) - 1)
 
         if fast:
             # ONE filter kernel per frame for ALL output modes: output
@@ -452,9 +463,23 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             z = jnp.zeros((nmodes, 1), res_ph.dtype)
             cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
             ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
-            trace = interp_uniform(ph_avg)
-            outr, outi = rotate_planes_pallas(symr, symi, trace, sign=-1,
-                                              T=rotT)
+            if kernel_interp:
+                a_blk = jnp.concatenate(
+                    [jnp.broadcast_to(ph_avg[:, :1], (nmodes, n_head)),
+                     ph_avg[:, :-1],
+                     jnp.broadcast_to(ph_avg[:, -1:], (nmodes, n_tail))],
+                    axis=-1)
+                slope = jnp.diff(ph_avg, axis=-1) / cpe_dx
+                b_blk = jnp.concatenate(
+                    [jnp.zeros((nmodes, n_head), slope.dtype), slope,
+                     jnp.zeros((nmodes, n_tail), slope.dtype)], axis=-1)
+                outr, outi = interp_rotate_planes_pallas(
+                    symr, symi, a_blk, b_blk, dx=cpe_dx, sign=-1, T=rotT)
+                trace = None
+            else:
+                trace = interp_uniform(ph_avg)
+                outr, outi = rotate_planes_pallas(symr, symi, trace,
+                                                  sign=-1, T=rotT)
             dr = outr[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat
                                            )[:, :, 1:].reshape(nmodes, -1)
             di = outi[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat

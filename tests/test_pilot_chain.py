@@ -369,3 +369,16 @@ class TestPallasFrameFilter:
                 frames=[0]).samples.shape[-1]]))
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 5e-4), ser
+
+    def test_kernel_interp_matches_xla_interp(self):
+        """return_phase=False on the fast path fuses the CPE interpolation
+        into the rotate kernel (per-block (a,b) coefficients); the payload
+        must equal the XLA-interp + plain-rotate path's."""
+        sig, s2 = _make_sig(snr=30, dgd=15e-12, theta=np.pi / 4.5,
+                            lwdth=10e3)
+        out_a, _ = _run(sig, s2, pallas=True)                  # XLA interp
+        out_b, _ = _run(sig, s2, pallas=True, return_phase=False)
+        d = np.abs(np.asarray(out_a.samples) - np.asarray(out_b.samples))
+        assert float(np.max(d)) < 1e-4, float(np.max(d))
+        ser = np.asarray(out_b.cal_ser(synced=True))
+        assert np.all(ser < 5e-4), ser
