@@ -129,26 +129,56 @@ def _llr_dists(rx_symbs, bits_map, snr):
     return -snr * d.reshape(rx.shape + (nb, k, 2))
 
 
-@jax.jit
+def _demap_chunked(fn, rx_symbs, bits_map, chunk=2 ** 16):
+    """Bound the (N, nb, M/2, 2) distance tensor by chunking over samples.
+
+    At serving sizes the full tensor is ~1.5 GB f32 for 64-QAM at 2^20
+    symbols; a lax.map over ``chunk``-sample blocks keeps the live
+    intermediate at chunk*nb*M bytes with identical results (the demap is
+    elementwise over samples).
+    """
+    rx = jnp.asarray(rx_symbs).reshape(-1)
+    n = rx.shape[0]
+    nb = jnp.asarray(bits_map).shape[0]
+    if n <= chunk:
+        return fn(rx)
+    pad = (-n) % chunk
+    blocks = jnp.pad(rx, (0, pad)).reshape(-1, chunk)
+    out = jax.lax.map(fn, blocks)
+    return out.reshape(-1, nb)[:n]
+
+
+@partial(jax.jit, static_argnames=())
 def soft_l_value_demapper(rx_symbs, snr, bits_map):
     """Exact log-sum-exp soft LLR demapper (reference pythran_dsp.py:95-104).
 
     rx_symbs: (N,) complex; bits_map: (num_bits, M/2, 2).
     Returns (N, num_bits) L-values: log p(bit=1) - log p(bit=0).
+    Large inputs are processed in 2^16-sample chunks (the distance tensor
+    is N*num_bits*M floats — ~1.5 GB at 64-QAM/2^20 unchunked).
     """
-    e = _llr_dists(rx_symbs, bits_map, snr)
-    ls = jax.scipy.special.logsumexp(e, axis=-2)  # (N, nb, 2)
-    return (ls[..., 1] - ls[..., 0]).astype(jnp.result_type(jnp.asarray(rx_symbs).real.dtype, jnp.float32))
+    def one(rx):
+        e = _llr_dists(rx, bits_map, snr)
+        ls = jax.scipy.special.logsumexp(e, axis=-2)  # (N, nb, 2)
+        return (ls[..., 1] - ls[..., 0]).astype(
+            jnp.result_type(jnp.asarray(rx).real.dtype, jnp.float32))
+    return _demap_chunked(one, rx_symbs, bits_map)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=())
 def soft_l_value_demapper_minmax(rx_symbs, snr, bits_map):
-    """Min-max approximate LLR demapper (reference pythran_dsp.py:119-131)."""
-    rx = jnp.asarray(rx_symbs)
-    bmap = jnp.asarray(bits_map)
-    d = cabssquared(rx[..., None, None, None] - bmap[None, ...])  # (N, nb, k, 2)
-    dmin = jnp.min(d, axis=-2)  # (N, nb, 2)
-    return snr * (dmin[..., 0] - dmin[..., 1])
+    """Min-max approximate LLR demapper (reference pythran_dsp.py:119-131).
+
+    Uses the same expanded-square MXU cross-term distances as the exact
+    sibling (f32 matmul output instead of a broadcast complex difference —
+    half the HBM) and the same 2^16-sample chunking.
+    """
+    def one(rx):
+        d = -_llr_dists(rx, bits_map, snr) / snr   # squared distances
+        dmin = jnp.min(d, axis=-2)                 # (N, nb, 2)
+        return (snr * (dmin[..., 0] - dmin[..., 1])).astype(
+            jnp.result_type(jnp.asarray(rx).real.dtype, jnp.float32))
+    return _demap_chunked(one, rx_symbs, bits_map)
 
 
 def norm_to_s0(sig, M):
