@@ -706,3 +706,113 @@ def interp_rotate_planes_pallas(er, ei, a_blk, b_blk, dx, sign=-1, T=16384,
     )(erb, eib, ab, bb, jnp.asarray(sel))
     return (outr.reshape(nmodes, Lp)[:, :L],
             outi.reshape(nmodes, Lp)[:, :L])
+
+
+def _cpe_coeffs_kernel(P, n_head, npts, dx, cpe_avg, use_atan2):
+    two_pi = np.float32(2 * np.pi)
+    inv_two_pi = np.float32(1 / (2 * np.pi))
+
+    def _shr(x, k):
+        return _shift_right(x, k, x.shape[1]) if k else x
+
+    def _shl(x, k):
+        T = x.shape[1]
+        return jnp.concatenate(
+            [x[:, k:], jnp.zeros((x.shape[0], k), x.dtype)], axis=1) if k else x
+
+    def kernel(*refs):
+        if use_atan2:
+            zr_ref, zi_ref, pr_ref, pi_ref, a_ref, b_ref = refs
+            zr = zr_ref[:]
+            zi = zi_ref[:]
+            pr = pr_ref[:]
+            pi_ = pi_ref[:]
+            ph = jnp.arctan2(pr * zi - pi_ * zr, pr * zr + pi_ * zi)
+        else:
+            ph_ref, a_ref, b_ref = refs
+            ph = ph_ref[:]
+        T = ph.shape[1]
+        lane = lax.broadcasted_iota(jnp.int32, ph.shape, 1)
+        # unwrap along the pilot axis: subtract 2*pi*cumsum(round(d/2pi))
+        d = jnp.where(lane == 0, 0.0, ph - _shr(ph, 1))
+        m = jnp.floor(d * inv_two_pi + 0.5)
+        s, w = m, 1
+        while w < T:
+            s = s + _shr(s, w)
+            w *= 2
+        u = ph - two_pi * s
+        # cpe_avg-point moving average ending at each lane
+        acc = u
+        for k in range(1, cpe_avg):
+            acc = acc + _shr(u, k)
+        # ph_avg[k] lives at lane k + cpe_avg - 1; shift to lane k
+        pavg = _shl(acc, cpe_avg - 1) / cpe_avg
+        # mask lanes beyond the valid npts range to the edge values
+        first = jnp.sum(jnp.where(lane == 0, pavg, 0.0), axis=1,
+                        keepdims=True)
+        last = jnp.sum(jnp.where(lane == npts - 1, pavg, 0.0), axis=1,
+                       keepdims=True)
+        # a blocks: [first]*n_head + ph_avg[0..npts-2] + [last]*tail
+        mid_a = _shr(pavg, n_head)          # lane n_head+k = ph_avg[k]
+        lane_a = lane - n_head
+        a = jnp.where(lane_a < 0, first,
+                      jnp.where(lane_a >= npts - 1, last, mid_a))
+        # b blocks: slope/dx inside the mid region, 0 outside
+        slope = (_shl(pavg, 1) - pavg) / dx
+        b = jnp.where((lane_a >= 0) & (lane_a < npts - 1),
+                      _shr(slope, n_head), 0.0)
+        a_ref[:] = a
+        b_ref[:] = b
+
+    return kernel
+
+
+def cpe_coeffs_pallas(zr, zi, pilr, pili, n_head, npts, dx, cpe_avg,
+                      nbt, interpret=None, res_ph=None):
+    """Whole per-frame pilot-phase math as ONE Pallas pass.
+
+    From the received pilot samples (``zr``/``zi``, (nmodes, npil) padded
+    to the lane tile) and the known pilots, computes
+    angle(conj(pil)*z) -> 2*pi unwrap -> ``cpe_avg``-point moving average
+    -> per-dx-block piecewise-linear coefficients (a, b) consumed by
+    :func:`interp_rotate_planes_pallas`. Replaces ~12 small XLA ops per
+    frame (each a dispatch-latency launch inside the frame scan) with one
+    kernel. Parity: reference pilot CPE math
+    (core/pilotbased_receiver.py:258-318). ``res_ph`` substitutes
+    precomputed phases (XLA atan2) in case the backend rejects in-kernel
+    arctan2. Returns (a_blk, b_blk) with ``nbt`` valid block lanes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    use_atan2 = res_ph is None
+    if use_atan2:
+        zr = jnp.asarray(zr, jnp.float32)
+        zi = jnp.asarray(zi, jnp.float32)
+        P, npil = zr.shape
+    else:
+        res_ph = jnp.asarray(res_ph, jnp.float32)
+        P, npil = res_ph.shape
+    T = max(-(-max(npil, nbt) // 128) * 128, 128)
+    ref = zr if use_atan2 else res_ph
+
+    def padT(x):
+        return jnp.pad(jnp.asarray(x, jnp.float32),
+                       ((0, 0), (0, T - x.shape[1])))
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if use_atan2:
+        args = [padT(zr), padT(zi), padT(pilr), padT(pili)]
+        in_specs = [spec] * 4
+    else:
+        args = [padT(res_ph)]
+        in_specs = [spec]
+    a, b = pl.pallas_call(
+        _cpe_coeffs_kernel(P, int(n_head), int(npts), int(dx),
+                           int(cpe_avg), use_atan2),
+        in_specs=in_specs,
+        out_specs=[spec, spec],
+        out_shape=[_sds((P, T), jnp.float32, ref),
+                   _sds((P, T), jnp.float32, ref)],
+        interpret=interpret,
+    )(*args)
+    return a[:, :nbt], b[:, :nbt]

@@ -412,7 +412,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             from qampy_tpu.ops.equaliser_pallas import (
                 apply_filter_pallas_planes)
             from qampy_tpu.ops.phase_pallas import (
-                rotate_planes_pallas, interp_rotate_planes_pallas)
+                rotate_planes_pallas, interp_rotate_planes_pallas,
+                cpe_coeffs_pallas)
             P2 = jnp.concatenate([E2.real, E2.imag], axis=0)  # (2n, L)
             rotT = min(16384, -(-frame_len // 1024) * 1024)
             # serving config (no phase trace requested): the uniform-grid
@@ -456,27 +457,28 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             tr = symr[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat)
             ti = symi[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat)
             zr, zi = tr[:, :, 0], ti[:, :, 0]
-            # angle(conj(pil)*z) on the small pilot rows
-            pr, pi_ = pil_c.real, pil_c.imag
-            res_ph = jnp.unwrap(jnp.arctan2(pr * zi - pi_ * zr,
-                                            pr * zr + pi_ * zi), axis=-1)
-            z = jnp.zeros((nmodes, 1), res_ph.dtype)
-            cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1), axis=-1)
-            ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
             if kernel_interp:
-                a_blk = jnp.concatenate(
-                    [jnp.broadcast_to(ph_avg[:, :1], (nmodes, n_head)),
-                     ph_avg[:, :-1],
-                     jnp.broadcast_to(ph_avg[:, -1:], (nmodes, n_tail))],
-                    axis=-1)
-                slope = jnp.diff(ph_avg, axis=-1) / cpe_dx
-                b_blk = jnp.concatenate(
-                    [jnp.zeros((nmodes, n_head), slope.dtype), slope,
-                     jnp.zeros((nmodes, n_tail), slope.dtype)], axis=-1)
+                # the WHOLE pilot-phase math (angle, unwrap, moving
+                # average, per-block (a,b) build) as one Pallas pass —
+                # ~12 tiny XLA ops per frame were pure dispatch latency
+                a_blk, b_blk = cpe_coeffs_pallas(
+                    zr, zi, jnp.asarray(pil_cpe.real),
+                    jnp.asarray(pil_cpe.imag), n_head,
+                    nblk_cpe - (cpe_avg - 1), cpe_dx, cpe_avg,
+                    frame_len // cpe_dx)
                 outr, outi = interp_rotate_planes_pallas(
                     symr, symi, a_blk, b_blk, dx=cpe_dx, sign=-1, T=rotT)
                 trace = None
             else:
+                # angle(conj(pil)*z) on the small pilot rows
+                pr, pi_ = pil_c.real, pil_c.imag
+                res_ph = jnp.unwrap(jnp.arctan2(pr * zi - pi_ * zr,
+                                                pr * zr + pi_ * zi),
+                                    axis=-1)
+                z = jnp.zeros((nmodes, 1), res_ph.dtype)
+                cs = jnp.cumsum(jnp.concatenate([z, res_ph], axis=-1),
+                                axis=-1)
+                ph_avg = (cs[:, cpe_avg:] - cs[:, :-cpe_avg]) / cpe_avg
                 trace = interp_uniform(ph_avg)
                 outr, outi = rotate_planes_pallas(symr, symi, trace,
                                                   sign=-1, T=rotT)
