@@ -458,14 +458,20 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             ti = symi[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat)
             zr, zi = tr[:, :, 0], ti[:, :, 0]
             if kernel_interp:
-                # the WHOLE pilot-phase math (angle, unwrap, moving
-                # average, per-block (a,b) build) as one Pallas pass —
-                # ~12 tiny XLA ops per frame were pure dispatch latency
+                # pilot-phase math (unwrap, moving average, per-block
+                # (a,b) build) as one Pallas pass — ~10 tiny XLA ops per
+                # frame were pure dispatch latency. The angle itself
+                # stays XLA: atan2 is UNIMPLEMENTED in Pallas TPU
+                # lowering (measured r4: "Unimplemented primitive ...
+                # atan2"), so conj(pil)*z -> arctan2 is one fused XLA op
+                # feeding the kernel.
+                pr, pi_ = pil_c.real, pil_c.imag
+                raw_ph = jnp.arctan2(pr * zi - pi_ * zr,
+                                     pr * zr + pi_ * zi)
                 a_blk, b_blk = cpe_coeffs_pallas(
-                    zr, zi, jnp.asarray(pil_cpe.real),
-                    jnp.asarray(pil_cpe.imag), n_head,
+                    None, None, None, None, n_head,
                     nblk_cpe - (cpe_avg - 1), cpe_dx, cpe_avg,
-                    frame_len // cpe_dx)
+                    frame_len // cpe_dx, res_ph=raw_ph)
                 outr, outi = interp_rotate_planes_pallas(
                     symr, symi, a_blk, b_blk, dx=cpe_dx, sign=-1, T=rotT)
                 trace = None
