@@ -354,6 +354,28 @@ def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,
     def chain_fn(E):
         return jitted(E)
 
+    def local_tracking(E, taps, shift, mode_order):
+        d = lax.axis_index(TIME)
+        data, _ = fwd.tracking(E, taps, shift, mode_order=mode_order,
+                               _frame_base=d * k * frame_len * os_)
+        return data
+
+    tr_smapped = jax.shard_map(
+        local_tracking, mesh=mesh,
+        in_specs=(P(None, None), P(None, None, None), P(None), P(None)),
+        out_specs=P(None, TIME), check_vma=False)
+    tr_jitted = jax.jit(tr_smapped)
+
+    def tracking(E, taps, shift, mode_order):
+        """Frame-parallel STEADY-STATE serving: demodulate ndev*k frames
+        with taps/shift/mode_order from a previous full dispatch — the
+        replicated sync+train prefix (the Amdahl term bounding the full
+        chain's frame-parallel efficiency, docs/PERFORMANCE.md scaling
+        curve) disappears entirely, so e(n, k) ~ 1 at any k."""
+        return tr_jitted(E, jnp.asarray(taps), jnp.asarray(shift),
+                         jnp.asarray(mode_order))
+
+    chain_fn.tracking = tracking
     chain_fn.backend_info = dict(fwd.backend_info, ndev=ndev,
                                  frames_per_device=k)
     chain_fn.jitted = jitted

@@ -382,3 +382,42 @@ class TestPallasFrameFilter:
         assert float(np.max(d)) < 1e-4, float(np.max(d))
         ser = np.asarray(out_b.cal_ser(synced=True))
         assert np.all(ser < 5e-4), ser
+
+    def test_frame_parallel_tracking(self):
+        """Sharded steady-state serving: the tracking entry of the
+        frame-parallel mesh receiver demodulates each device's frames
+        with state from a previous full dispatch — zero replicated
+        prefix, output matches the full sharded chain's frames."""
+        import jax
+        from qampy_tpu.parallel import make_mesh, sharded
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=10, nmodes=2,
+                                  fb=24e9, seed=7)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(11))
+        mesh = make_mesh(8)
+        chain = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, frames_per_device=1,
+            os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3)
+        # acquire state with the single-chip chain (same fwd semantics)
+        from qampy_tpu.ops.pilot_chain import make_pilot_rx_chain
+        fwd = make_pilot_rx_chain(
+            np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, os=2, M=64, nmodes=2,
+            Ntaps=17, Niter=30, cpe_avg=3)
+        E = jnp.asarray(s2.samples)
+        _, info = jax.jit(fwd)(E)
+        data_full, _, _ = chain(E)
+        data_trk = chain.tracking(E, info["taps"], info["shift"],
+                                  info["mode_order"])
+        np.testing.assert_allclose(np.abs(np.asarray(data_trk)
+                                          - np.asarray(data_full)), 0,
+                                   atol=1e-4)
+        out = sig.get_data().replace(
+            samples=jnp.asarray(np.asarray(data_trk)))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 1e-3), ser
