@@ -8,7 +8,7 @@ accepts ``symbols=`` (geometric shaping / APSK / warped grids):
 * blind chain with a radially warped 64-point alphabet — the analytic
   per-axis grid decision cannot apply, so the BPS decision runs the
   O(M) search and the blind constants are derived from the alphabet's
-  own moments (TPU: 202-386 Msym/s/chip SER-gated, docs/PERFORMANCE.md);
+  own moments (TPU: 224-927 Msym/s/chip SER-gated, docs/PERFORMANCE.md);
 * Maxwell-Boltzmann PS-shaped 64-QAM — the support stays a grid, so the
   fully fused path applies (TPU: 872.7 Msym/s/chip, SER 0);
 * a 256-point warped alphabet through the PILOT chain — data-aided

@@ -92,11 +92,10 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     ``symbols`` overrides the constellation with an arbitrary host complex
     alphabet (geometric shaping, APSK, ...): decision-directed stages and
     the BPS then search that alphabet — the reference's any-M path
-    (core/pythran_dsp.py:47-85). On TPU a general alphabet keeps a
-    partially fused chain: Pallas for the non-decision trainer stages, the
-    filter, the unrolled O(M) BPS decision (M <= 256) and the derotate;
-    the decision-directed trainer stage falls back to the XLA block
-    trainer (MXU matmul decisions).
+    (core/pythran_dsp.py:47-85). On TPU a general alphabet keeps an
+    all-Pallas per-stage chain: the trainers (incl. decision-directed
+    stages via a statically unrolled O(M <= 256) nearest-point search),
+    the filter, the unrolled-gen BPS decision and the derotate.
     ``E`` is complex (nmodes, L) at ``os``
     samples/symbol; returns the equalised, derotated symbol sequence.
     """
@@ -170,9 +169,9 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     # method the block trainer implements; anything else (e.g. cross
     # 32/128-QAM) falls back to the XLA kernels instead of tripping kernel
     # asserts — with a warning when the caller explicitly asked for pallas.
-    # General (non-grid) alphabets keep a PER-STAGE fused chain: grid-free
-    # stages (non-decision trainers, filter, unrolled-gen BPS, derotate)
-    # stay Pallas, only the decision-directed trainer runs XLA.
+    # General (non-grid) alphabets keep a PER-STAGE fused chain: every
+    # stage (trainers incl. the unrolled-gen decision methods, filter,
+    # unrolled-gen BPS, derotate) stays Pallas for M <= 256.
     ok, reasons = pallas_eligibility(grid, methods)
     kind = phops.grid_decision_info(grid)[0]
     gen_ok = kind == "gen" and const.shape[0] <= 256
@@ -183,12 +182,13 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         pallas_gen = _resolve_pallas(pallas, gen_ok, reasons,
                                      what="rx chain (general alphabet)")
         pallas = False
-    from qampy_tpu.ops.equaliser_pallas import _BLOCK_ERRFNS
+    from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
 
     def _stage_pallas(method):
-        """Trainer backend per stage: Pallas where the method needs no
-        grid decision, XLA block trainer otherwise."""
-        return pallas or (pallas_gen and method in _BLOCK_ERRFNS)
+        """Trainer backend per stage: the fused Pallas block trainer covers
+        every implemented method on gen alphabets too (statically unrolled
+        O(M<=256) decision), so gen chains stay all-Pallas."""
+        return (pallas or pallas_gen) and method in PALLAS_BLOCK_METHODS
 
     def _derotate(Eeq, ph):
         if (pallas or pallas_gen) and fuse_derot:

@@ -195,7 +195,11 @@ def _make_block_err_decision(method, grid):
     ``grid`` is an ops/phase.detect_grid spec: square and rectangular grids
     decide each axis independently; cross-QAM decides jointly as the closer
     of the two rectangle clamps (exact — the cross is a union of two
-    axis-aligned rectangles).
+    axis-aligned rectangles); a general ("gen") alphabet takes a statically
+    unrolled O(M) max-score search over the constellation points (the
+    points are compile-time constants — 2 FMAs + compare + 2 selects per
+    point on the VPU, the same exact argmin as the XLA MXU matmul decision
+    since score = 2<z,s> - |s|^2 = |z|^2 - |z-s|^2).
     """
     from qampy_tpu.ops.phase import grid_decision_info
     kind, p = grid_decision_info(grid)
@@ -234,6 +238,23 @@ def _make_block_err_decision(method, grid):
             dr = lo + d0 * jnp.where(useA, iA, iB)
             di = lo + d0 * jnp.where(useA, jA, jB)
             return dr, di
+    elif kind == "gen":
+        srs, sis = p
+        pts = [(float(a), float(b), float(a * a + b * b))
+               for a, b in zip(srs, sis)]
+
+        def dec(zr, zi):
+            a0, b0, c0 = pts[0]
+            best = 2.0 * (zr * a0 + zi * b0) - c0
+            dr = jnp.full_like(zr, a0)
+            di = jnp.full_like(zi, b0)
+            for a, b, c in pts[1:]:
+                sc = 2.0 * (zr * a + zi * b) - c
+                take = sc > best
+                dr = jnp.where(take, a, dr)
+                di = jnp.where(take, b, di)
+                best = jnp.maximum(sc, best)
+            return dr, di
     else:
         raise ValueError("no analytic decision for grid kind %r" % kind)
 
@@ -263,8 +284,10 @@ def train_equaliser_block_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
 
     Same contract and math as ops/equaliser.train_equaliser_block. Complex
     methods cma/sgncma/mcma/rde plus the decision-directed sbd/mddma/dd
-    (square-grid constellations, detected host-side — pass ``symbols`` as a
-    concrete host array for those). Returns (err, wx_out, mu_out).
+    (square/cross/rect grids take the analytic O(1) decision; any other
+    alphabet up to 256 points takes the statically unrolled O(M) search —
+    detected host-side, so pass ``symbols`` as a concrete host array for
+    the decision methods). Returns (err, wx_out, mu_out).
     interpret=None auto-selects interpreter mode on the CPU backend.
     """
     assert not real_valued, "pallas block trainer implements complex methods"
@@ -275,9 +298,11 @@ def train_equaliser_block_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
         # host-side inspection: must happen outside the jitted impl
         from qampy_tpu.ops.phase import detect_grid, grid_decision_info
         grid = detect_grid(np.asarray(symbols)[0])
-        assert grid_decision_info(grid)[0] in ("sq", "x", "r"), \
-            "pallas block trainer needs a square/cross/rect-grid " \
-            "constellation for %s" % method
+        kind = grid_decision_info(grid)[0]
+        assert kind in ("sq", "x", "r", "gen"), \
+            "pallas block trainer has no decision for grid kind %r" % kind
+        assert kind != "gen" or np.asarray(symbols).shape[-1] <= 256, \
+            "pallas block trainer unrolls general alphabets up to 256 points"
     return _train_block_pallas_impl(E, TrSyms, Niter, os, mu, wx, symbols,
                                     method, adaptive, real_valued, block_size,
                                     interpret, grid)

@@ -204,6 +204,28 @@ class TestPallasBlockTrainer:
         assert np.allclose(np.asarray(w_b), np.asarray(w_p), atol=1e-4)
         assert np.allclose(np.asarray(mu_b), np.asarray(mu_p), atol=1e-6)
 
+    @pytest.mark.parametrize("method", ["sbd", "mddma", "dd"])
+    def test_matches_block_backend_gen_alphabet(self, field, method):
+        """Decision methods on a general (warped, non-grid) alphabet: the
+        statically unrolled O(M) max-score search must reproduce the XLA
+        block trainer's MXU matmul decision."""
+        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+        from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+        from qampy_tpu.ops.phase import detect_grid, grid_decision_info
+        c = cal_symbols_qam(64) / np.sqrt(cal_scaling_factor_qam(64))
+        const = (c * (1 + 0.18 * (np.abs(c) ** 2 - 1))).astype(np.complex64)
+        assert grid_decision_info(detect_grid(const))[0] == "gen"
+        syms = np.tile(const[None, :], (2, 1))
+        w0 = eqops._init_taps(11, 2, 2, np.complex64)
+        err_b, w_b, mu_b = eqops.train_equaliser_block(
+            field, 1024, 2, 2, 1e-3, w0, syms, method, adaptive=True,
+            block_size=128)
+        err_p, w_p, mu_p = train_equaliser_block_pallas(
+            field, 1024, 2, 2, 1e-3, w0, syms, method, adaptive=True,
+            block_size=128, interpret=True)
+        assert np.allclose(np.asarray(w_b), np.asarray(w_p), atol=1e-4)
+        assert np.allclose(np.asarray(mu_b), np.asarray(mu_p), atol=1e-6)
+
     def test_via_equalise_signal_backend(self, field):
         """backend='pallas_block' plugs into the public driver."""
         wxy, err = eqops.equalise_signal(field, 2, 1e-3, 16, Ntaps=11,

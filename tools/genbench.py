@@ -6,7 +6,8 @@ shaped constellation — radially warped 64-QAM by default, optional
 apply, so the BPS decision runs the O(M) search (Pallas unrolled
 max-score for M <= 256; reference any-M path
 qampy/core/pythran_dsp.py:47-85) and the decision-directed trainer stage
-runs the XLA MXU matmul decision. Channel and harness match bench.py's
+runs the same statically unrolled search inside the Pallas block trainer
+(all-Pallas gen chain since r4). Channel and harness match bench.py's
 flagship workload (RRC 2x, 20 kHz phase noise, 35 dB, PMD), the SER gate
 decides nearest point over the full warped alphabet, minimised over pi/2
 rotations x pol PERMUTATIONS x taps-centre offsets.
