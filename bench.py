@@ -335,8 +335,8 @@ def pilot_main(path, nframes_proc, gate_ber):
 
     @jax.jit
     def gate(er, ei):
-        data, info = fwd(er + 1j * ei)
-        idx_rx = decision_idx(data, coded)
+        (dr, di), info = fwd.planes(er, ei)
+        idx_rx = decision_idx(dr + 1j * di, coded)
         bt = jnp.asarray(bits_h)
         it = jnp.asarray(idx_tx)
         ber = jnp.mean((bt[idx_rx] != bt[it]).astype(jnp.float32))
@@ -370,8 +370,9 @@ def pilot_main(path, nframes_proc, gate_ber):
         def timed(er, ei, s0):
             def body(i, carry):
                 scale = (1 + 1e-6 * carry).astype(jnp.float32)
-                data, _ = fwd(er * scale + 1j * (ei * scale))
-                return jnp.mean(jnp.abs(data)).astype(jnp.float32)
+                (dr, di), _ = fwd.planes(er * scale, ei * scale)
+                return (jnp.mean(jnp.abs(dr))
+                        + jnp.mean(jnp.abs(di))).astype(jnp.float32)
 
             return jax.lax.fori_loop(0, reps, body, s0)
         return timed
@@ -402,7 +403,10 @@ def pilot_tracking_main(path, nframes_proc, gate_ber):
     reference reaches with ``wxinit=`` warm-starting
     (qampy/equalisation.py:386-388). BER-gated like the full chain; the
     warm-start state stays device-resident and rides through jit as
-    arguments (complex taps must never cross the tunnel)."""
+    arguments (complex taps must never cross the tunnel). Uses the
+    PLANES-native entry (``forward.tracking_planes``): the capture planes
+    feed the frame slices directly and the payload returns as (dr, di)
+    planes — no whole-capture complex<->planes conversion pass."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/qampy_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -423,7 +427,7 @@ def pilot_tracking_main(path, nframes_proc, gate_ber):
                               Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                               cpe_avg=3, frames=frames, block_size=256,
                               return_phase=False, frames_unroll=4)
-    track = fwd.tracking
+    track = fwd.tracking_planes
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
     nsym_payload = idx_tx.shape[-1] * idx_tx.shape[0]
@@ -433,7 +437,7 @@ def pilot_tracking_main(path, nframes_proc, gate_ber):
 
     @jax.jit
     def acquire(er, ei):
-        _, info = fwd(er + 1j * ei)
+        _, info = fwd.planes(er, ei)
         return info["taps"], info["shift"], info["mode_order"]
 
     print("acquiring warm-start state...", file=sys.stderr, flush=True)
@@ -441,8 +445,8 @@ def pilot_tracking_main(path, nframes_proc, gate_ber):
 
     @jax.jit
     def gate(er, ei, taps, shift, mo):
-        data, _ = track(er + 1j * ei, taps, shift, mo)
-        idx_rx = decision_idx(data, coded)
+        (dr, di), _ = track(er, ei, taps, shift, mo)
+        idx_rx = decision_idx(dr + 1j * di, coded)
         bt = jnp.asarray(bits_h)
         it = jnp.asarray(idx_tx)
         return jnp.mean((bt[idx_rx] != bt[it]).astype(jnp.float32))
@@ -461,9 +465,10 @@ def pilot_tracking_main(path, nframes_proc, gate_ber):
         def timed(er, ei, s0, taps, shift, mo):
             def body(i, carry):
                 scale = (1 + 1e-6 * carry).astype(jnp.float32)
-                data, _ = track(er * scale + 1j * (ei * scale),
-                                taps, shift, mo)
-                return jnp.mean(jnp.abs(data)).astype(jnp.float32)
+                (dr, di), _ = track(er * scale, ei * scale,
+                                    taps, shift, mo)
+                return (jnp.mean(jnp.abs(dr))
+                        + jnp.mean(jnp.abs(di))).astype(jnp.float32)
 
             return jax.lax.fori_loop(0, reps, body, s0)
         return timed
@@ -525,16 +530,20 @@ def _supervise():
     # ---- pilot-chain number (BASELINE config 4), merged into the same
     # JSON line: TX synthesis runs in a CPU-forced subprocess, the timing
     # attempt on the real chip with a BER gate at the reference tolerance
-    tx_path = "/tmp/qampy_pilot_tx_nf84.npz"
+    tx_path = "/tmp/qampy_pilot_tx_nf124.npz"
     try:
         import os.path
         if not os.path.exists(tx_path):
             proc = subprocess.run([sys.executable, __file__,
-                                   "--pilot-maketx", tx_path, "84"],
-                                  capture_output=True, text=True, timeout=1200)
+                                   "--pilot-maketx", tx_path, "124"],
+                                  capture_output=True, text=True, timeout=1800)
             if proc.returncode != 0:
                 raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
-        for nfp, gate in ((80, 1e-5), (80, 1e-5), (40, 1e-5)):  # retries, flaky tunnel
+        # 120 frames/dispatch amortises the sync+train prefix further than
+        # the r3 80-frame config (measured 905.9 vs 765-861 Msym/s, BER 0);
+        # 160 frames fails remote compile (tpu_compile_helper exit 1), so
+        # 120 is the shipped dispatch size with 80 as the fallback
+        for nfp, gate in ((120, 1e-5), (120, 1e-5), (80, 1e-5)):  # retries, flaky tunnel
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
                                    tx_path, str(nfp), repr(gate)],
                                   capture_output=True, text=True, timeout=1800)
@@ -553,7 +562,7 @@ def _supervise():
     # a failure or timeout leaves the main numbers untouched
     try:
         proc = subprocess.run([sys.executable, __file__, "--pilot-tracking",
-                               tx_path, "80", "1e-5"],
+                               tx_path, "120", "1e-5"],
                               capture_output=True, text=True, timeout=1500)
         line = ""
         for l in proc.stdout.strip().splitlines():

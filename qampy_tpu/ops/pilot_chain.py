@@ -195,23 +195,33 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             adaptive=True, block_size=S)
         return err, wx
 
-    def forward(E, _frame_base=0):
+    def _fwd(pr, pi, _frame_base, _planes_out):
         """One full pilot RX: sync -> pilot eq -> filter -> CPE -> payload.
+
+        Internal planes-first implementation shared by ``forward`` (complex
+        in/out) and ``forward_planes`` (float32 plane pairs in/out). The
+        capture lives as real/imag planes end to end; complex arrays are
+        built only on the SMALL sync/alignment/training slices that need
+        them (FFT xcorr, complex LMS) — the whole-capture complex<->planes
+        conversion and mode-permutation passes of the naive formulation
+        never run (the mode permutation folds into the demod taps' input
+        axis instead, see ``forward_tracking_planes``).
 
         ``_frame_base`` (traced sample offset) shifts every demodulated
         frame window — the hook the frame-data-parallel mesh receiver
         (parallel/sharded.make_sharded_pilot_rx) uses to give each device
         its own frame range while sync/training stay replicated."""
-        L = E.shape[-1]
-        assert E.shape[0] == nmodes
+        L = pr.shape[-1]
+        assert pr.shape[0] == nmodes
         assert L >= (frame_len + 2 * seq_len) * os, \
             "Signal must be at least as long as frame"
-        fdt = E.real.dtype
+        fdt = pr.dtype
 
         # ---- 1. frame sync: batched window search ----------------------
         # windows start at multiples of step and span 2 steps: two shifted
         # (W, step) reshapes instead of a W*sw fancy-index gather
-        blk = lax.slice(E, (0, 2 * step), (nmodes, (W + 3) * step))
+        blk = (lax.slice(pr, (0, 2 * step), (nmodes, (W + 3) * step))
+               + 1j * lax.slice(pi, (0, 2 * step), (nmodes, (W + 3) * step)))
         blk = blk.reshape(nmodes, W + 1, step)
         win = jnp.concatenate([blk[:, :W], blk[:, 1:W + 1]], axis=-1)
         win = win.swapaxes(0, 1)                             # (W, nmodes, sw)
@@ -248,7 +258,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         for l in range(nmodes):
             iw = best_w[l]
             seg0 = starts_d[iw] - sw
-            seg = lax.dynamic_slice(E, (0, seg0), (nmodes, 2 * sw))
+            seg = (lax.dynamic_slice(pr, (0, seg0), (nmodes, 2 * sw))
+                   + 1j * lax.dynamic_slice(pi, (0, seg0), (nmodes, 2 * sw)))
             wx_l = wxs[iw]                                   # traced gather
             sy = eqops.apply_filter_to_signal(seg, os, wx_l)  # (nmodes, Ls)
             # coarse FOE on the equalised window (reference :399-400)
@@ -256,7 +267,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             fvec = jnp.asarray(np.fft.fftfreq(foe_fft) / 4, fdt)
             foe_l = jnp.mean(fvec[jnp.argmax(f4, axis=-1)])
             t = jnp.arange(1, Ls + 1, dtype=fdt)
-            rot = jnp.exp(-1j * (2 * np.pi * foe_l) * t).astype(E.dtype)
+            rot = jnp.exp(-1j * (2 * np.pi * foe_l) * t).astype(seg.dtype)
             sy2 = jnp.stack([sy[l], sy[l] * rot])            # (2, Ls)
             # all (hypothesis, tx mode) pairs in ONE FFT correlation batch
             ac = _xcorr_batched(jnp.asarray(seq_f)[None, :, :], sy2[:, None, :],
@@ -285,8 +296,9 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         if _stage == "sync":
             return (sync_corr + jnp.sum(shift).astype(fdt)), {}
         # reference sync2frame (signals.py:1709-1744): reorder modes, wrap
-        # negative shifts by one frame
-        E2 = E[mode_order]
+        # negative shifts by one frame. The mode reorder happens on the
+        # SMALL training slices (a row gather per segment) — never as a
+        # whole-capture permutation pass
         shift = shift[mode_order]
         shift = jnp.where(shift < 0, shift + frame_len * os, shift)
 
@@ -294,9 +306,11 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         eqsh = shift - tap_corr
         eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
         ref_seq = jnp.asarray(pilot_seq)
-        segs = jnp.stack([lax.dynamic_slice(E2, (0, eqsh[i]),
-                                            (nmodes, seg_len))
-                          for i in range(nmodes)])    # (n, n, seg_len)
+        segs = jnp.stack([
+            (lax.dynamic_slice(pr, (0, eqsh[i]), (nmodes, seg_len))
+             + 1j * lax.dynamic_slice(pi, (0, eqsh[i]), (nmodes, seg_len))
+             )[mode_order]
+            for i in range(nmodes)])                  # (n, n, seg_len)
         # stage 1: blind warm-up on the pilot alphabet, all modes in one
         # vmapped training (reference :506-520 trains them sequentially)
         w0r = jnp.asarray(w0_eq)[:, None]             # (n, 1, n, Ntaps)
@@ -343,18 +357,64 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         if _stage == "eq":
             return jnp.sum(jnp.abs(taps)), {}
 
+        if use_pallas and blocked_cpe and frames_mode in ("scan", "vmap"):
+            # planes demod: capture stays unpermuted planes; the mode
+            # permutation folds into the taps' input axis (see
+            # forward_tracking_planes). info reports the LOGICAL taps so
+            # the state round-trips into the tracking entries verbatim.
+            data, info = _demod(None, eqsh, taps[:, jnp.argsort(mode_order)],
+                                fdt, _frame_base, shift, sync_corr,
+                                foe_coarse, foe_pil, mode_order,
+                                planes=(pr, pi), _planes_out=_planes_out)
+            info["taps"] = taps
+            return data, info
+        assert not _planes_out, \
+            "planes output requires the Pallas fast path and scan/vmap " \
+            "frames_mode"
+        E2 = (pr + 1j * pi)[mode_order]
         return _demod(E2, eqsh, taps, fdt, _frame_base, shift, sync_corr,
                       foe_coarse, foe_pil, mode_order)
 
+    def forward(E, _frame_base=0):
+        """One full pilot RX: sync -> pilot eq -> filter -> CPE -> payload.
+
+        Complex (nmodes, L) capture in, complex payload out; thin wrapper
+        over the planes-first implementation (``_fwd`` — XLA simplifies the
+        real/imag extraction away when the caller itself assembled ``E``
+        from planes)."""
+        return _fwd(E.real, E.imag, _frame_base, False)
+
+    def forward_planes(pr, pi, _frame_base=0):
+        """Planes-native full chain: ``forward`` with the capture supplied
+        as float32 real/imag planes and the payload returned as a
+        ``(dr, di)`` plane pair — the serving entry for transports where
+        complex arrays cannot cross host<->device (e.g. the axon TPU
+        tunnel ships planes anyway). Requires the Pallas fast path and a
+        scan/vmap frames_mode; ``info`` is identical to ``forward``'s."""
+        return _fwd(pr, pi, _frame_base, True)
+
     def _demod(E2, eqsh, taps, fdt, _frame_base, shift, sync_corr,
-               foe_coarse, foe_pil, mode_order):
+               foe_coarse, foe_pil, mode_order, planes=None,
+               _planes_out=False):
         # ---- 3+4. filter + pilot CPE per requested frame -----------------
         # shared by the full chain (after sync+training) and the tracking
-        # warm-start entry point below
+        # warm-start entry points below. ``planes=(Rr, Ri)`` replaces the
+        # complex capture with its float32 real/imag planes (serving entry:
+        # the whole-capture complex->planes conversion pass disappears);
+        # ``_planes_out`` returns ``data`` as an (dr, di) plane pair.
         fr_len = frame_len * os + Ntaps - 1
         if foe_comp:
-            t = jnp.arange(1, E2.shape[-1] + 1, dtype=fdt)
-            E2 = E2 * jnp.exp(-1j * (2 * np.pi * foe_pil / os) * t).astype(E2.dtype)
+            if planes is None:
+                t = jnp.arange(1, E2.shape[-1] + 1, dtype=fdt)
+                E2 = E2 * jnp.exp(-1j * (2 * np.pi * foe_pil / os)
+                                  * t).astype(E2.dtype)
+            else:
+                Rr0, Ri0 = planes
+                t = jnp.arange(1, Rr0.shape[-1] + 1, dtype=fdt)
+                th = (2 * np.pi * foe_pil / os) * t
+                c_t, s_t = jnp.cos(th), jnp.sin(th)
+                # e^{-i th} (r + i q) in split planes
+                planes = (Rr0 * c_t + Ri0 * s_t, Ri0 * c_t - Rr0 * s_t)
         pil_c = jnp.asarray(pil_cpe)
         ph_idx_d = jnp.asarray(ph_idx)
         dat_idx_d = jnp.asarray(dat_idx)
@@ -408,13 +468,21 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         # spent ~0.13 ms/frame mostly on per-op launches, not bytes
         # (docs/PERFORMANCE.md pilot table).
         fast = use_pallas and blocked_cpe
+        assert planes is None or fast, \
+            "planes input requires the Pallas fast path (use_pallas and " \
+            "blocked CPE layout)"
+        assert not _planes_out or fast, "planes output requires the fast path"
         if fast:
             from qampy_tpu.ops.equaliser_pallas import (
                 apply_filter_pallas_planes)
             from qampy_tpu.ops.phase_pallas import (
                 rotate_planes_pallas, interp_rotate_planes_pallas,
                 cpe_coeffs_pallas)
-            P2 = jnp.concatenate([E2.real, E2.imag], axis=0)  # (2n, L)
+            if planes is not None:
+                Rr, Ri = planes
+            else:
+                P2 = jnp.concatenate([E2.real, E2.imag], axis=0)  # (2n, L)
+                Rr, Ri = P2[:nmodes], P2[nmodes:]
             rotT = min(16384, -(-frame_len // 1024) * 1024)
             # serving config (no phase trace requested): the uniform-grid
             # linear interpolation fuses INTO the rotate kernel as
@@ -444,11 +512,13 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
 
         def do_frame_planes(_, base):
             """Planes-pipeline frame body (fast path)."""
-            sl = [lax.dynamic_slice(P2, (0, eqsh[i] + base),
-                                    (2 * nmodes, fr_len))
-                  for i in range(nmodes)]
-            planes_v = jnp.concatenate(
-                [s[:nmodes] for s in sl] + [s[nmodes:] for s in sl], axis=0)
+            sl_r = [lax.dynamic_slice(Rr, (0, eqsh[i] + base),
+                                      (nmodes, fr_len))
+                    for i in range(nmodes)]
+            sl_i = [lax.dynamic_slice(Ri, (0, eqsh[i] + base),
+                                      (nmodes, fr_len))
+                    for i in range(nmodes)]
+            planes_v = jnp.concatenate(sl_r + sl_i, axis=0)
             out = apply_filter_pallas_planes(planes_v, os, wv)
             symr, symi = out[:nmodes], out[nmodes:]   # (nmodes, F)
             if _stage == "filter":
@@ -575,8 +645,12 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             span = nfp * frame_len * os + Ntaps - 1
             base0 = int(frames[0]) * frame_len * os + _frame_base
             sym_pl = [apply_filter_pallas_planes(
-                lax.dynamic_slice(P2, (0, eqsh[i] + base0),
-                                  (2 * nmodes, span)), os, taps[i:i + 1])
+                jnp.concatenate(
+                    [lax.dynamic_slice(Rr, (0, eqsh[i] + base0),
+                                       (nmodes, span)),
+                     lax.dynamic_slice(Ri, (0, eqsh[i] + base0),
+                                       (nmodes, span))], axis=0),
+                os, taps[i:i + 1])
                 for i in range(nmodes)]               # each (2, nfp*F)
             symr = jnp.stack([p[0] for p in sym_pl]
                              ).reshape(nmodes, nfp, frame_len)
@@ -636,8 +710,9 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             return jnp.sum(jnp.abs(data_f)), {}
         if fast:
             dr_f, di_f = data_f
-            data = (jnp.moveaxis(dr_f, 0, 1)
-                    + 1j * jnp.moveaxis(di_f, 0, 1)).reshape(nmodes, -1)
+            dr2 = jnp.moveaxis(dr_f, 0, 1).reshape(nmodes, -1)
+            di2 = jnp.moveaxis(di_f, 0, 1).reshape(nmodes, -1)
+            data = (dr2, di2) if _planes_out else dr2 + 1j * di2
         else:
             data = jnp.moveaxis(data_f, 0, 1).reshape(nmodes, -1)
         info = {"shift": shift, "sync_corr": sync_corr,
@@ -667,6 +742,12 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         so the capture is derotated the same way (omitting it warns and
         demodulates uncompensated). ``info["sync_corr"]`` is +inf to mark
         sync-not-run."""
+        if use_pallas and blocked_cpe and frames_mode in ("scan", "vmap"):
+            # shared planes demod (same float summation order as forward,
+            # so full-chain vs tracking outputs stay bit-identical)
+            (dr, di), info = forward_tracking_planes(
+                E.real, E.imag, wxy, shift, mode_order, foe, _frame_base)
+            return dr + 1j * di, info
         fdt = E.real.dtype
         if foe is not None and not foe_comp:
             raise ValueError("foe= supplied but the chain was built with "
@@ -689,7 +770,64 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         return _demod(E2, eqsh, jnp.asarray(wxy), fdt, _frame_base, shift,
                       jnp.array(np.inf, fdt), z, foe_t, mo)
 
+    def forward_tracking_planes(pr, pi, wxy, shift, mode_order=None,
+                                foe=None, _frame_base=0):
+        """Planes-native tracking entry: ``forward_tracking`` with the
+        capture supplied as float32 real/imag planes (``pr``/``pi``, each
+        (nmodes, L)) and the payload returned as a ``(dr, di)`` plane pair.
+
+        Two whole-capture passes disappear versus the complex entry:
+
+        * no complex->planes conversion — the frame slices read the input
+          planes directly (on transports that forbid complex host<->device
+          transfers, e.g. the axon tunnel, the capture arrives as planes
+          anyway, so the serving path never materialises a complex copy);
+        * ``mode_order`` is folded into the TAPS' input-mode axis
+          (``wxy[:, argsort(mode_order)]`` — a (nmodes, nmodes, Ntaps)
+          gather) instead of row-permuting the full capture.
+
+        Output is numerically identical to ``forward_tracking`` (pinned by
+        test); ``info["taps"]`` returns the caller's ``wxy`` unchanged so
+        the state can be re-fed verbatim. Requires the Pallas fast path and
+        a scan/vmap frames_mode (the default)."""
+        assert use_pallas and blocked_cpe, \
+            "tracking_planes requires the Pallas fast path"
+        assert frames_mode in ("scan", "vmap"), \
+            "tracking_planes supports frames_mode 'scan'/'vmap', got %r" \
+            % (frames_mode,)
+        fdt = pr.dtype
+        if foe is not None and not foe_comp:
+            raise ValueError("foe= supplied but the chain was built with "
+                             "foe_comp=False (it would not be applied)")
+        if foe_comp and foe is None:
+            import warnings
+            warnings.warn(
+                "chain built with foe_comp=True but tracking_planes got no "
+                "foe=: the frozen taps were trained on FOE-compensated "
+                "segments while this capture is demodulated uncompensated; "
+                "pass the previous dispatch's info['foe']", stacklevel=2)
+        shift = jnp.asarray(shift, jnp.int32)
+        eqsh = shift - tap_corr
+        eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
+        z = jnp.zeros((), fdt)
+        foe_t = z if foe is None else jnp.asarray(foe, fdt)
+        wxy = jnp.asarray(wxy)
+        if mode_order is None:
+            mo = jnp.arange(nmodes)
+            wxy_eff = wxy
+        else:
+            mo = jnp.asarray(mode_order)
+            # out_i = sum_j taps[i,j] * E[mo[j]] == sum_p taps[i,inv[p]] * E[p]
+            wxy_eff = wxy[:, jnp.argsort(mo)]
+        data, info = _demod(None, eqsh, wxy_eff, fdt, _frame_base, shift,
+                            jnp.array(np.inf, fdt), z, foe_t, mo,
+                            planes=(pr, pi), _planes_out=True)
+        info["taps"] = wxy
+        return data, info
+
     forward.tracking = forward_tracking
+    forward.tracking_planes = forward_tracking_planes
+    forward.planes = forward_planes
     forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),
                             "methods": tuple(methods),
                             "trainer": "block(xla, vmapped)"}

@@ -175,7 +175,40 @@ class TestFusedPilotChain:
         assert bool(jnp.all(d0 == d1))
         assert np.isinf(float(i1["sync_corr"]))  # marks sync-not-run
 
-    def test_backend_info(self):
+    def test_tracking_planes_matches_complex(self):
+        """forward.tracking_planes (planes in/out, mode_order folded into
+        the taps' input axis instead of permuting the capture) must
+        reproduce forward.tracking bit-exactly — including with a mode
+        swap, which exercises the taps-permute fold."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=6, nmodes=2,
+                                  fb=24e9, seed=3)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.7, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(5))
+        E = jnp.asarray(np.asarray(s2.samples)[::-1])   # swap pols
+        fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
+                                  np.asarray(sig.ph_pilots),
+                                  sig.frame_len, sig.pilot_ins_rat,
+                                  os=2, M=64, nmodes=2, Ntaps=17, Niter=30,
+                                  cpe_avg=3, frames=(0, 1, 2), pallas=True)
+        d0, i0 = jax.jit(fwd)(E)
+        assert list(np.asarray(i0["mode_order"])) == [1, 0]
+        d1, i1 = jax.jit(fwd.tracking)(E, i0["taps"], i0["shift"],
+                                       i0["mode_order"])
+        (dr, di), i2 = jax.jit(fwd.tracking_planes)(
+            E.real, E.imag, i0["taps"], i0["shift"], i0["mode_order"])
+        # the taps-permute fold reorders the contraction's input axis, so
+        # float summation order differs: tight-tolerance, not bitwise
+        assert np.allclose(np.asarray(dr + 1j * di), np.asarray(d1),
+                           atol=2e-5), np.abs(np.asarray(dr + 1j * di)
+                                              - np.asarray(d1)).max()
+        assert bool(jnp.all(i2["taps"] == i0["taps"]))  # re-feedable verbatim
+        assert np.isinf(float(i2["sync_corr"]))
+        # the planes-native FULL chain shares the demod path -> bit-equal
+        (fr, fi), i3 = jax.jit(fwd.planes)(E.real, E.imag)
+        assert bool(jnp.all(fr + 1j * fi == d0))
+        assert bool(jnp.all(i3["taps"] == i0["taps"]))
         sig, _ = _make_sig()
         fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
                                   np.asarray(sig.ph_pilots),
