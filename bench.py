@@ -153,9 +153,12 @@ def main():
             sers.append(jnp.min(jnp.stack(cand)))
         return jnp.mean(jnp.stack(sers))
 
-    # complex h2d poisons the tunnel: ship real/imag planes separately
-    Er = jax.device_put(np.ascontiguousarray(E_np.real).astype(np.float32))
-    Ei = jax.device_put(np.ascontiguousarray(E_np.imag).astype(np.float32))
+    # complex h2d poisons the tunnel: ship real/imag planes separately.
+    # The chain's planes-native entry takes the stacked [Re; Im] layout
+    # directly, so the capture ships pre-stacked and no complex (or
+    # restacked) copy of it ever exists on device
+    Pst = jax.device_put(np.concatenate([E_np.real, E_np.imag]
+                                        ).astype(np.float32))
     refr = jax.device_put(np.ascontiguousarray(syms_np.real).astype(np.float32))
     refi = jax.device_put(np.ascontiguousarray(syms_np.imag).astype(np.float32))
     if "--single" in sys.argv:
@@ -172,17 +175,18 @@ def main():
                          block_size=block_size, TrSyms=trs or None,
                          bps_mode=bps_mode, bps_win=bps_win)
 
-    def fwd(er, ei):
-        return fwd_c(er + 1j * ei)
+    @jax.jit
+    def chain(P):
+        outr, outi = fwd_c.planes(P)
+        return outr + 1j * outi   # complex stays ON DEVICE for the gate
 
-    chain = jax.jit(fwd)
     print("compiling chain (bs=%d trs=%d)..." % (block_size, trs),
           file=sys.stderr, flush=True)
     # the axon tunnel sporadically fails an execution with UNIMPLEMENTED;
     # retry in-process (the compilation cache makes retries cheap)
     for attempt in range(5):
         try:
-            out = jax.block_until_ready(chain(Er, Ei))
+            out = jax.block_until_ready(chain(Pst))
             break
         except Exception as e:
             print("chain attempt %d failed: %s" % (attempt, str(e)[:150]),
@@ -215,22 +219,23 @@ def main():
 
     def make_timed(reps):
         @jax.jit
-        def timed(er, ei, s0):
+        def timed(P, s0):
             def body(i, carry):
                 scale = (1 + 1e-6 * carry).astype(jnp.float32)
-                o = fwd(er * scale, ei * scale)
-                return jnp.mean(jnp.abs(o)).astype(jnp.float32)
+                outr, outi = fwd_c.planes(P * scale)
+                return (jnp.mean(jnp.abs(outr))
+                        + jnp.mean(jnp.abs(outi))).astype(jnp.float32)
 
             return jax.lax.fori_loop(0, reps, body, s0)
         return timed
 
     timedA, timedB = make_timed(REPS_A), make_timed(REPS_B)
-    fetch(timedA(Er, Ei, jnp.float32(0.)), "warmA")   # compile + full run
-    fetch(timedB(Er, Ei, jnp.float32(0.5)), "warmB")
+    fetch(timedA(Pst, jnp.float32(0.)), "warmA")   # compile + full run
+    fetch(timedB(Pst, jnp.float32(0.5)), "warmB")
 
     def run(f, seed):
         t0 = time.perf_counter()
-        fetch(f(Er, Ei, jnp.float32(seed)), "timed")
+        fetch(f(Pst, jnp.float32(seed)), "timed")
         return time.perf_counter() - t0
 
     tA = min(run(timedA, 1.0), run(timedA, 2.0))

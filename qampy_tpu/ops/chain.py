@@ -210,16 +210,22 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         er, ei = Eeq.real, Eeq.imag
         return (er * c - ei * s) + 1j * (er * s + ei * c)
 
-    def forward(E):
+    def _fwd(P, planes_out):
         """One RX step: train stage-1/stage-2 taps, filter, BPS-derotate.
 
-        Training runs on a TrSyms prefix until converged, then the taps
-        are frozen and applied to the whole signal. On TPU the trainers
-        and the BPS distance scan run as fused Pallas kernels; the filter
-        is the windows-batched MXU contraction.
+        Planes-first implementation shared by ``forward`` (complex in/out)
+        and ``forward_planes`` (stacked float32 planes in, (outr, outi)
+        out). On the Pallas paths the capture planes thread straight
+        through filter -> BPS -> derotate with no complex materialisation
+        between kernels (each kernel previously re-extracted planes from a
+        freshly assembled complex array — pure HBM shuffle). Training runs
+        on a TrSyms prefix until converged (complex built lazily on the
+        prefix slice), then the taps are frozen and applied to the whole
+        signal.
         """
-        nmodes = E.shape[0]
-        trs = (E.shape[-1] - Ntaps) // os if TrSyms is None else TrSyms
+        nmodes = P.shape[0] // 2
+        E = P[:nmodes] + 1j * P[nmodes:]
+        trs = (P.shape[-1] - Ntaps) // os if TrSyms is None else TrSyms
         w0 = jnp.asarray(eqops._init_taps(Ntaps, nmodes, nmodes, dtype))
         from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
 
@@ -251,20 +257,40 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         # single-pass bf16 contraction for the filter on TPU (the ~0.4%
         # quantisation rides far below operating channel noise; the bench
         # SER gate verifies the end-to-end outcome stays exact)
-        from qampy_tpu.ops.equaliser_pallas import (apply_filter_pallas,
-                                                    pallas_filter_group)
+        from qampy_tpu.ops.equaliser_pallas import pallas_filter_group
         filt_group = (pallas_filter_group(os, Ntaps, nmodes)
                       if (pallas or pallas_gen) else 0)
         dec = 8 if (bps_mode == "twostage-dec" and filt_group >= 8
                     and filt_group % 8 == 0) else None
+        from qampy_tpu.ops.equaliser_pallas import apply_filter_pallas_planes
+        eqp = None
         if (pallas or pallas_gen) and filt_group > 1:
             # fused Pallas filter: windows + MXU + deinterleave in VMEM
-            # (4.5x the XLA windows formulation, docs/PERFORMANCE.md)
-            out_f = apply_filter_pallas(E, os, w2, dec_stride=dec)
-            Eeq, Edec = out_f if dec else (out_f, None)
+            # (4.5x the XLA windows formulation, docs/PERFORMANCE.md).
+            # Planes in, planes out — the BPS/derotate kernels consume the
+            # output planes directly
+            out_f = apply_filter_pallas_planes(P.astype(jnp.float32), os,
+                                               w2, dec_stride=dec)
+            Pout, Pdec = out_f if dec else (out_f, None)
+            no = Pout.shape[0] // 2
+            eqp = (Pout[:no], Pout[no:])
+            Eeq = None
+            Edec = (Pdec[:no] + 1j * Pdec[no:]).astype(E.dtype) if dec else None
         else:
             Eeq, Edec, dec = eqops.apply_filter_to_signal(E, os, w2), None, None
+
+        def _derot_out(ph):
+            """Final unwrap+derotate honouring the planes threading."""
+            if eqp is not None and fuse_derot:
+                from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
+                return unwrap_derotate_pallas(None, ph, planes=eqp,
+                                              planes_out=planes_out)
+            out = _derotate(Eeq if eqp is None
+                            else (eqp[0] + 1j * eqp[1]).astype(E.dtype), ph)
+            return (out.real, out.imag) if planes_out else out
+
         if pallas and dec is not None:
+            Eeq = (eqp[0] + 1j * eqp[1]).astype(E.dtype)
             # decimated-coarse two-stage BPS: the carrier phase is grossly
             # oversampled at the symbol rate, so the coarse grid search runs
             # on the filter's stride-8 side output (1/8 the samples) with a
@@ -287,7 +313,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                 ph1d.shape[0], -1)[:, :Lout]
             ph = bps_fine_pallas(Eeq, ph1, A1, 8, grid, bps_N, T=bps_tile,
                                  win_dtype=win_dtype, compute_dtype=bps_cd)
-            return _derotate(Eeq, ph)
+            return _derot_out(ph)
         if (pallas or pallas_gen) and bps_mode.startswith("twostage"):
             # fused two-stage BPS: shared coarse grid + 8 per-sample fine
             # offsets (reference bps_twostage, core/phaserecovery.py:222-288)
@@ -302,12 +328,14 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # gen chain's BPS cost collapses to ~the flagship's.
             # Wide coarse window (N1=60) kills coarse-stage cycle slips;
             # the fine stage keeps bps_N for phase-tracking bandwidth.
-            ph = bps_phase_twostage_pallas(Eeq, max(bps_angles // div, 16), 8,
-                                           gen_grid_fine, bps_N, T=bps_tile,
-                                           win_dtype=win_dtype, N1=60,
-                                           compute_dtype=bps_cd,
-                                           grid_coarse=gen_grid_coarse)
-            return _derotate(Eeq, ph)
+            ph = bps_phase_twostage_pallas(Eeq if eqp is None else None,
+                                           max(bps_angles // div, 16),
+                                           8, gen_grid_fine, bps_N,
+                                           T=bps_tile, win_dtype=win_dtype,
+                                           N1=60, compute_dtype=bps_cd,
+                                           grid_coarse=gen_grid_coarse,
+                                           planes=eqp)
+            return _derot_out(ph)
         if bps_mode.startswith("twostage"):
             # XLA two-stage path — same N1=60 wide coarse window as the
             # Pallas kernel (slip suppression, docs/PERFORMANCE.md), so
@@ -315,21 +343,40 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             div = 2 if bps_mode.endswith("32") else 4
             out, ph = phops.bps_twostage(Eeq, max(bps_angles // div, 16),
                                          const, bps_N, B=8, N1=60)
-            return out
+            return (out.real, out.imag) if planes_out else out
         if pallas or pallas_gen:
             from qampy_tpu.ops.phase_pallas import bps_idx_pallas
             # bf16 window accumulation: ~25% faster BPS; the nearest-level
             # decision stays f32-exact
-            idx = bps_idx_pallas(Eeq, angles_h, grid, bps_N, T=bps_tile,
-                                 win_dtype=win_dtype, compute_dtype=bps_cd)
+            idx = bps_idx_pallas(Eeq if eqp is None else None, angles_h,
+                                 grid, bps_N, T=bps_tile,
+                                 win_dtype=win_dtype, compute_dtype=bps_cd,
+                                 planes=eqp)
         else:
             angles = jnp.asarray(angles_h).reshape(1, -1)
             idx = jax.vmap(lambda e: phops.bps_idx(e, angles, const, bps_N,
                                                    grid=grid))(Eeq)
         # the angle grid is affine: angle = lo + step*idx (no gather)
         ph = lo_a + step_a * idx.astype(jnp.float32)
-        return _derotate(Eeq, ph)
+        return _derot_out(ph)
 
+    def forward(E):
+        """Complex (nmodes, L) capture in, recovered complex symbols out —
+        thin wrapper over the planes-first ``_fwd`` (the plane split is
+        algebraically eliminated by XLA when the caller assembled ``E``
+        from planes)."""
+        return _fwd(jnp.concatenate([E.real, E.imag], axis=0), False)
+
+    def forward_planes(P):
+        """Planes-native serving entry: ``P`` is the stacked (2*nmodes, L)
+        float32 [Re rows; Im rows] capture; returns ``(outr, outi)``
+        float32 planes of the recovered symbols. On transports where
+        complex arrays cannot cross host<->device (the axon TPU tunnel)
+        the capture ships as planes anyway — this entry keeps the whole
+        chain free of complex materialisation passes (Pallas paths)."""
+        return _fwd(jnp.asarray(P), True)
+
+    forward.planes = forward_planes
     # introspection: which kernel path the built chain actually takes
     forward.backend_info = {"pallas": bool(pallas),
                             "pallas_gen": bool(pallas_gen),

@@ -204,7 +204,7 @@ def _bps_kernel(T, N2, grid_const, win_dtype=None, compute_dtype=None):
 
 
 def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
-                   win_dtype=None, compute_dtype=None):
+                   win_dtype=None, compute_dtype=None, planes=None):
     """Square-grid BPS angle-index search as one fused Pallas kernel.
 
     E: (nmodes, L) complex; testangles: (A,) shared angle grid, HOST-side
@@ -215,6 +215,9 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     Returns int32 (nmodes, L) with the same semantics as ops.phase.bps_idx
     (positions [N, L-N) filled, others 0). Jit-compatible in E (trace this
     inside an outer jit); testangles/grid/N/T are trace-time constants.
+    ``planes=(er, ei)`` replaces ``E`` with float32 real/imag plane arrays
+    (pass ``E=None``) — planes-threaded chains skip the complex assembly
+    and re-extraction between the filter and the search.
     win_dtype=jnp.bfloat16 accumulates the windowed sums at reduced
     precision for ~2x VPU throughput on that section (decision stays f32);
     the argmin may flip between near-tied adjacent angles.
@@ -229,8 +232,14 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    E = jnp.asarray(E)
-    nmodes, L = E.shape
+    if planes is not None:
+        er2, ei2 = (jnp.asarray(p) for p in planes)
+        ref = er2
+    else:
+        E = jnp.asarray(E)
+        er2, ei2 = E.real, E.imag
+        ref = E
+    nmodes, L = er2.shape
     A = int(np.asarray(testangles).size)
     N2 = 2 * N
     assert grid is not None, "pallas BPS needs a host-inspectable constellation"
@@ -241,8 +250,8 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
     nchunks = Lp // T
     # the singleton axis before the lane axis satisfies the TPU block-shape
     # rule (last two block dims divisible by (8, 128) or equal to the array's)
-    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
-    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
+    er = jnp.pad(er2.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
+    ei = jnp.pad(ei2.astype(jnp.float32), ((0, 0), (0, pad))).reshape(nmodes, nchunks, 1, T)
     ang = np.asarray(testangles, dtype=np.float64).reshape(A, 1)
     # fold the grid normalisation into the rotation table (see _make_dist_fn)
     scale = _make_dist_fn(grid)[1]
@@ -261,7 +270,7 @@ def bps_idx_pallas(E, testangles, grid, N, T=512, interpret=None,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, E),
+        out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, ref),
         scratch_shapes=[
             # the tail carries WINDOW-sum precision: f32 unless the window
             # accumulation itself opted into bf16 (compute_dtype quantises
@@ -358,7 +367,8 @@ def _unwrap_derotate_kernel(R, Tc):
     return kernel
 
 
-def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
+def unwrap_derotate_pallas(E, ph, T=16384, interpret=None, planes=None,
+                           planes_out=False):
     """Fused pi/2-unwrap + derotation: returns ``E * exp(1j*unwrap(ph*4)/4)``.
 
     The XLA formulation (ops/chain._derotate) is HBM-bound: the cumsum of
@@ -368,12 +378,22 @@ def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
     of the result. Parity: reference core/phaserecovery.py:155-158
     (np.unwrap(ph*4)/4 + derotation). E (nmodes, L) complex, ph (nmodes, L)
     float32 wrapped phase; exact at any L (the jump count stays integral in
-    f32 far beyond any practical signal length).
+    f32 far beyond any practical signal length). ``planes=(er, ei)``
+    replaces ``E`` with float32 plane arrays (pass ``E=None``);
+    ``planes_out=True`` returns the ``(outr, outi)`` planes uncombined —
+    together they keep a planes-threaded chain free of complex
+    materialisation passes.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    E = jnp.asarray(E)
-    nmodes, L = E.shape
+    if planes is not None:
+        er2, ei2 = (jnp.asarray(p) for p in planes)
+        ref, odt = er2, jnp.complex64
+    else:
+        E = jnp.asarray(E)
+        er2, ei2 = E.real, E.imag
+        ref, odt = E, E.dtype
+    nmodes, L = er2.shape
     R = 8
     assert T % (R * 128) == 0, "tile must split into 8 rows of whole lane tiles"
     Tc = T // R
@@ -383,8 +403,8 @@ def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
     # (R, Tc) tiles: row r is the CONTIGUOUS segment [r*Tc, (r+1)*Tc) of its
     # chunk, so the HBM reshape is a free row-major relabel
     shape5 = (nmodes, nchunks, 1, R, Tc)
-    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape5)
-    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape5)
+    er = jnp.pad(er2.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape5)
+    ei = jnp.pad(ei2.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape5)
     # edge-pad the phase so the padded tail contributes no pi/2 jumps
     phr = jnp.pad(ph.astype(jnp.float32), ((0, 0), (0, pad)),
                   mode="edge").reshape(shape5)
@@ -395,13 +415,15 @@ def unwrap_derotate_pallas(E, ph, T=16384, interpret=None):
         grid=(nmodes, nchunks),
         in_specs=[blk, blk, blk],
         out_specs=[blk, blk],
-        out_shape=[_sds(shape5, jnp.float32, E), _sds(shape5, jnp.float32, E)],
+        out_shape=[_sds(shape5, jnp.float32, ref), _sds(shape5, jnp.float32, ref)],
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         interpret=interpret,
     )(er, ei, phr)
     outr = outr.reshape(nmodes, Lp)[:, :L]
     outi = outi.reshape(nmodes, Lp)[:, :L]
-    return (outr + 1j * outi).astype(E.dtype)
+    if planes_out:
+        return outr, outi
+    return (outr + 1j * outi).astype(odt)
 
 
 # ---------------------------------------------------------------------------
@@ -460,7 +482,7 @@ def _bps_fine_kernel(T, N2, B, grid_const, deltas, win_dtype=None,
 
 def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None,
                               win_dtype=None, N1=None, compute_dtype=None,
-                              grid_coarse=None):
+                              grid_coarse=None, planes=None):
     """Two-stage BPS phase search as two fused Pallas passes.
 
     Stage 1 runs the shared coarse grid (Mtestangles angles over
@@ -480,8 +502,8 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    E = jnp.asarray(E)
-    nmodes, L = E.shape
+    if planes is None:
+        E = jnp.asarray(E)
     N2 = 2 * N
     assert grid is not None, "pallas BPS needs a host-inspectable constellation"
     assert N2 < T, "window must fit in one tile"
@@ -491,19 +513,21 @@ def bps_phase_twostage_pallas(E, Mtestangles, B, grid, N, T=2048, interpret=None
     # varies slowly, so a much wider coarse window (up to 64 -> one full
     # lane tile of lookback) suppresses coarse-stage cycle slips at the same
     # kernel cost; the fine stage keeps N for tracking bandwidth.
-    idx1 = bps_idx_pallas(E, coarse, grid if grid_coarse is None
+    idx1 = bps_idx_pallas(None if planes is not None else E, coarse,
+                          grid if grid_coarse is None
                           else grid_coarse, N if N1 is None else N1, T=T,
                           interpret=interpret, win_dtype=win_dtype,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, planes=planes)
     step1, lo1 = float(np.pi / 2 / Mtestangles), float(-np.pi / 4)
     ph1 = lo1 + step1 * idx1.astype(jnp.float32)
-    return bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=T,
+    return bps_fine_pallas(None if planes is not None else E, ph1,
+                           Mtestangles, B, grid, N, T=T,
                            interpret=interpret, win_dtype=win_dtype,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, planes=planes)
 
 
 def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
-                    win_dtype=None, compute_dtype=None):
+                    win_dtype=None, compute_dtype=None, planes=None):
     """Fine BPS stage given an externally supplied coarse phase ``ph1``.
 
     Refines ph1 (nmodes, L) with B per-sample offsets spanning one coarse
@@ -513,8 +537,14 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    E = jnp.asarray(E)
-    nmodes, L = E.shape
+    if planes is not None:
+        er2, ei2 = (jnp.asarray(p) for p in planes)
+        ref = er2
+    else:
+        E = jnp.asarray(E)
+        er2, ei2 = E.real, E.imag
+        ref = E
+    nmodes, L = er2.shape
     N2 = 2 * N
     assert grid is not None, "pallas BPS needs a host-inspectable constellation"
     assert N2 < T, "window must fit in one tile"
@@ -527,8 +557,8 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
     Lp = L + pad
     nchunks = Lp // T
     shape4 = (nmodes, nchunks, 1, T)
-    er = jnp.pad(E.real.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
-    ei = jnp.pad(E.imag.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    er = jnp.pad(er2.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
+    ei = jnp.pad(ei2.astype(jnp.float32), ((0, 0), (0, pad))).reshape(shape4)
     c1 = jnp.pad(jnp.cos(ph1), ((0, 0), (0, pad))).reshape(shape4)
     s1 = jnp.pad(jnp.sin(ph1), ((0, 0), (0, pad))).reshape(shape4)
 
@@ -546,7 +576,7 @@ def bps_fine_pallas(E, ph1, Mtestangles, B, grid, N, T=2048, interpret=None,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, T), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, E),
+        out_shape=_sds((nmodes, nchunks, 1, T), jnp.int32, ref),
         scratch_shapes=[
             pltpu.VMEM((B, N2), win_dtype or jnp.float32),
         ],

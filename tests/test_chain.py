@@ -190,6 +190,23 @@ class TestRxChain:
             best = min(best, float(np.mean(sers)))
         assert best < 1e-4, "gen twostage fitted-coarse SER %.2e" % best
 
+    def test_planes_entry_matches_complex(self):
+        """forward.planes (stacked [Re; Im] capture in, (outr, outi) out —
+        the planes-threaded Pallas chain with no complex materialisation
+        between kernels) must reproduce forward bit-exactly."""
+        import sys
+        sys.path.insert(0, "tools")
+        from bench import make_tx
+        E, _, _ = make_tx(2 ** 14)
+        fwd = make_rx_chain(Ntaps=17, os=2, bps_angles=32, bps_N=10,
+                            block_size=128, bps_tile=2048, TrSyms=2 ** 12,
+                            pallas=True)
+        out_c = np.asarray(jax.jit(fwd)(jax.numpy.asarray(E)))
+        P = np.concatenate([E.real, E.imag]).astype(np.float32)
+        outr, outi = jax.jit(fwd.planes)(jax.numpy.asarray(P))
+        assert np.array_equal(np.asarray(outr) + 1j * np.asarray(outi),
+                              out_c)
+
     def test_gen_fitted_grid_flags(self):
         """backend_info reports the fitted-vs-exact gen BPS decisions:
         warped QAM accepts both probes; a ring alphabet (square grid
