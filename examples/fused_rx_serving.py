@@ -7,7 +7,12 @@ blind phase search, derotation) into ONE jittable program, and
 ``ops.pilot_chain.make_pilot_rx_chain`` does the same for the complete
 pilot receiver (frame sync, two-stage pilot equalisation, per-frame
 filtering + pilot CPE). These are the programs behind bench.py's
-964 Msym/s blind / 622 Msym/s pilot figures on one TPU v5e chip.
+973 Msym/s blind / 1180 Msym/s pilot / 1571 Msym/s tracking figures on
+one TPU v5e chip (docs/PERFORMANCE.md). Both chains also expose
+PLANES-native serving entries (``forward.planes`` /
+``.tracking_planes``: float32 real/imag planes in and out, no complex
+materialisation passes) — the form the transport ships anyway on hosts
+where complex arrays cannot cross to the device.
 Run: python examples/fused_rx_serving.py  (CPU demo sizes)
 """
 import _common  # noqa: F401
@@ -41,19 +46,33 @@ p2 = impairments.simulate_transmission(p2, snr=30, lwdth=20e3, dgd=20e-12,
                                        theta=np.pi / 4.3,
                                        roll_frame_sync=True,
                                        key=jr.PRNGKey(2))
+# pallas=True keeps the Pallas fast path (and its planes entries) alive
+# on CPU too, via the interpreter — on TPU it is the default
 pfwd = jax.jit(make_pilot_rx_chain(
     np.asarray(psig.pilot_seq), np.asarray(psig.ph_pilots),
     psig.frame_len, psig.pilot_ins_rat, os=2, M=64, nmodes=2,
     Ntaps=17, Niter=30, cpe_avg=3, frames=(0, 1, 2),
-    return_phase=False))
+    return_phase=False, pallas=True))
 data, info = pfwd(jnp.asarray(p2.samples))
 pout = psig.get_data(frames=[0, 1, 2]).replace(samples=data)
 print("pilot sync corr: %.0f (threshold 120)" % float(info["sync_corr"]))
 print("pilot chain BER:", np.asarray(pout.cal_ber(synced=True)))
 
 # steady-state tracking: reuse the found taps/shift, skip sync + training
-# (zero-prefix warm start; 773 Msym/s on one v5e chip at 80 frames)
+# (zero-prefix warm start; 1571 Msym/s on one v5e chip at 120 frames via
+# the planes entry)
 track = jax.jit(pfwd.__wrapped__.tracking)
 data2, _ = track(jnp.asarray(p2.samples), info["taps"], info["shift"],
                  info["mode_order"])
 print("tracking output identical:", bool(jnp.all(data2 == data)))
+
+# planes-native serving (the bench.py path): the capture ships as float32
+# planes, the payload comes back as (dr, di) planes — bit-identical to
+# the complex entries, with zero complex materialisation on device
+E = np.asarray(p2.samples)
+track_p = jax.jit(pfwd.__wrapped__.tracking_planes)
+(dr, di), _ = track_p(jnp.asarray(E.real.astype(np.float32)),
+                      jnp.asarray(E.imag.astype(np.float32)),
+                      info["taps"], info["shift"], info["mode_order"])
+print("planes tracking identical:",
+      bool(jnp.all((dr + 1j * di) == data)))
