@@ -274,10 +274,10 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             Pout, Pdec = out_f if dec else (out_f, None)
             no = Pout.shape[0] // 2
             eqp = (Pout[:no], Pout[no:])
+            decp = (Pdec[:no], Pdec[no:]) if dec else None
             Eeq = None
-            Edec = (Pdec[:no] + 1j * Pdec[no:]).astype(E.dtype) if dec else None
         else:
-            Eeq, Edec, dec = eqops.apply_filter_to_signal(E, os, w2), None, None
+            Eeq, decp, dec = eqops.apply_filter_to_signal(E, os, w2), None, None
 
         def _derot_out(ph):
             """Final unwrap+derotate honouring the planes threading."""
@@ -290,29 +290,30 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             return (out.real, out.imag) if planes_out else out
 
         if pallas and dec is not None:
-            Eeq = (eqp[0] + 1j * eqp[1]).astype(E.dtype)
             # decimated-coarse two-stage BPS: the carrier phase is grossly
             # oversampled at the symbol rate, so the coarse grid search runs
             # on the filter's stride-8 side output (1/8 the samples) with a
             # 2N-point window spanning 8x the time; the per-sample fine
-            # stage and unwrap see the upsampled coarse phase
+            # stage and unwrap see the upsampled coarse phase. Both stages
+            # consume the filter's output planes directly.
             from qampy_tpu.ops.phase_pallas import (bps_idx_pallas,
                                                     bps_fine_pallas)
             A1 = max(bps_angles // 4, 16)
-            idx1 = bps_idx_pallas(Edec, np.linspace(
+            idx1 = bps_idx_pallas(None, np.linspace(
                 -np.pi / 4, np.pi / 4, A1, endpoint=False, dtype=np.float32),
                 grid, bps_N, T=min(bps_tile, 8192), win_dtype=win_dtype,
-                compute_dtype=bps_cd)
+                compute_dtype=bps_cd, planes=decp)
             step1, lo1 = float(np.pi / 2 / A1), float(-np.pi / 4)
             ph1d = lo1 + step1 * idx1.astype(jnp.float32)
-            Lout = Eeq.shape[-1]
+            Lout = eqp[0].shape[-1]
             # broadcast+reshape, NOT jnp.repeat: repeat lowers to a gather
             # that XLA re-fuses into every consumer (measured ~0.3 ms each)
             ph1 = jnp.broadcast_to(ph1d[:, :, None],
                                    (*ph1d.shape, dec)).reshape(
                 ph1d.shape[0], -1)[:, :Lout]
-            ph = bps_fine_pallas(Eeq, ph1, A1, 8, grid, bps_N, T=bps_tile,
-                                 win_dtype=win_dtype, compute_dtype=bps_cd)
+            ph = bps_fine_pallas(None, ph1, A1, 8, grid, bps_N, T=bps_tile,
+                                 win_dtype=win_dtype, compute_dtype=bps_cd,
+                                 planes=eqp)
             return _derot_out(ph)
         if (pallas or pallas_gen) and bps_mode.startswith("twostage"):
             # fused two-stage BPS: shared coarse grid + 8 per-sample fine
@@ -367,13 +368,19 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         from planes)."""
         return _fwd(jnp.concatenate([E.real, E.imag], axis=0), False)
 
-    def forward_planes(P):
-        """Planes-native serving entry: ``P`` is the stacked (2*nmodes, L)
-        float32 [Re rows; Im rows] capture; returns ``(outr, outi)``
-        float32 planes of the recovered symbols. On transports where
-        complex arrays cannot cross host<->device (the axon TPU tunnel)
-        the capture ships as planes anyway — this entry keeps the whole
-        chain free of complex materialisation passes (Pallas paths)."""
+    def forward_planes(P, Pi=None):
+        """Planes-native serving entry: returns ``(outr, outi)`` float32
+        planes of the recovered symbols. ``P`` is the stacked (2*nmodes,
+        L) float32 [Re rows; Im rows] capture (the filter kernel's native
+        layout — ship it pre-stacked to avoid any restacking pass), or
+        pass a ``(pr, pi)`` plane pair as two arguments (the pilot chain's
+        ``forward.planes`` convention; stacked once here). On transports
+        where complex arrays cannot cross host<->device (the axon TPU
+        tunnel) the capture ships as planes anyway — this entry keeps the
+        whole chain free of complex materialisation passes (Pallas
+        paths)."""
+        if Pi is not None:
+            P = jnp.concatenate([jnp.asarray(P), jnp.asarray(Pi)], axis=0)
         return _fwd(jnp.asarray(P), True)
 
     forward.planes = forward_planes

@@ -177,11 +177,11 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     ``symbols`` overrides the constellation with an arbitrary host
     alphabet, mirroring make_rx_chain(symbols=...): blind constants come
     from the alphabet's moments and the BPS searches the alphabet. A
-    NON-GRID alphabet keeps the per-shard Pallas path when both methods
-    are modulus-type (cma/sgncma/mcma/rde — the robust gen recipe,
-    docs/PERFORMANCE.md) and the alphabet has <= 256 points (the
-    unrolled Pallas BPS decision); decision-directed methods on gen
-    alphabets fall back to XLA per shard.
+    NON-GRID alphabet keeps the per-shard Pallas path for every method
+    the fused block trainer implements — including the decision-directed
+    sbd/mddma/dd via the statically unrolled O(M) search — when the
+    alphabet has <= 256 points (same bound as the unrolled Pallas BPS
+    decision).
 
     Returns a function f(E) -> (Eout, ph, evm) where Eout is
     the equalised + derotated symbol-rate signal (sharded over time).
@@ -207,12 +207,13 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
     ok, reasons = pallas_eligibility(grid, methods, block_size=block_size,
                                      bps_tile=bps_tile)
     if not ok:
-        # gen-alphabet Pallas path: modulus-only trainers are grid-free
-        # and the unrolled BPS decision covers <= 256 points
-        from qampy_tpu.ops.equaliser_pallas import _BLOCK_ERRFNS
+        # gen-alphabet Pallas path: the block trainer covers every
+        # implemented method on gen alphabets (statically unrolled
+        # O(M<=256) decision, same as the unrolled BPS search)
+        from qampy_tpu.ops.equaliser_pallas import PALLAS_BLOCK_METHODS
         kind = phops.grid_decision_info(grid)[0]
         gen_ok = (kind == "gen" and const.shape[0] <= 256
-                  and all(m in _BLOCK_ERRFNS for m in methods)
+                  and all(m in PALLAS_BLOCK_METHODS for m in methods)
                   and (block_size % 128 == 0) and (bps_tile % 128 == 0))
         if gen_ok:
             ok, reasons = True, ()

@@ -116,9 +116,9 @@ class TestRxChain:
 
     def test_general_alphabet_chain(self):
         """symbols= with a non-grid (radially warped) alphabet: the chain
-        recovers on the XLA path and on the partially fused pallas_gen
-        path (unrolled O(M) BPS decision, XLA decision trainer) —
-        VERDICT r2 #3."""
+        recovers on the XLA path and on the all-Pallas pallas_gen path
+        (statically unrolled O(M) decision in both the sbd trainer and
+        the BPS) — VERDICT r2 #3."""
         import sys
         sys.path.insert(0, "tools")
         from genbench import warped_qam
@@ -189,6 +189,29 @@ class TestRxChain:
                 sers.append(min(cand))
             best = min(best, float(np.mean(sers)))
         assert best < 1e-4, "gen twostage fitted-coarse SER %.2e" % best
+
+    def test_twostage_dec_mode_recovers(self):
+        """bps_mode='twostage-dec' (coarse BPS on the filter's decimated
+        side output, both stages reading the filter's planes) recovers
+        the flagship workload on the Pallas path."""
+        import sys
+        sys.path.insert(0, "tools")
+        from bench import make_tx
+        E, _, _ = make_tx(2 ** 14)
+        from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam
+        const = cal_symbols_qam(64) / np.sqrt(cal_scaling_factor_qam(64))
+
+        def resid(mode):
+            fwd = make_rx_chain(Ntaps=17, os=2, bps_angles=32, bps_N=10,
+                                block_size=128, bps_tile=2048,
+                                TrSyms=2 ** 12, bps_mode=mode, pallas=True)
+            out = np.asarray(jax.jit(fwd)(jax.numpy.asarray(E)))[:, 300:-300]
+            return np.abs(out[:, :, None] - const[None, None, :]).min(-1).mean()
+
+        d_single, d_dec = resid("single"), resid("twostage-dec")
+        # recovery quality within a small margin of the flagship mode
+        # (residual on this short harness is noise-dominated at ~0.10)
+        assert d_dec < d_single + 0.02 and d_dec < 0.15, (d_single, d_dec)
 
     def test_planes_entry_matches_complex(self):
         """forward.planes (stacked [Re; Im] capture in, (outr, outi) out —

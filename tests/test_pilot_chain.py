@@ -209,6 +209,8 @@ class TestFusedPilotChain:
         (fr, fi), i3 = jax.jit(fwd.planes)(E.real, E.imag)
         assert bool(jnp.all(fr + 1j * fi == d0))
         assert bool(jnp.all(i3["taps"] == i0["taps"]))
+
+    def test_backend_info(self):
         sig, _ = _make_sig()
         fwd = make_pilot_rx_chain(np.asarray(sig.pilot_seq),
                                   np.asarray(sig.ph_pilots),
