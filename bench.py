@@ -338,13 +338,26 @@ def pilot_main(path, nframes_proc, gate_ber):
     Er = jax.device_put(d["Er"])
     Ei = jax.device_put(d["Ei"])
 
+    # the tiled TX index array scales with frames/dispatch (~60 MB at 120
+    # frames); as a jit closure constant it bloats the serialized program
+    # past what the remote compile helper accepts (160 frames = 81 MB blob
+    # -> HTTP 500). Ship it as an ARGUMENT instead. And count bit errors
+    # through a host-precomputed (M, M) Hamming-distance LUT: the naive
+    # bitmap gather materialises (nmodes, Nsym, log2M) tensors whose
+    # minor dim pads 6 -> 128 on TPU — 19 GB of padded HLO temps at 160
+    # frames (OOM), ~14 GB at 120.
+    it_d = jax.device_put(idx_tx)
+    Mc = bits_h.shape[0]
+    nb = bits_h.shape[1]
+    ham_h = (bits_h[:, None, :] != bits_h[None, :, :]).sum(-1).astype(
+        np.float32).reshape(-1)
+
     @jax.jit
-    def gate(er, ei):
+    def gate(er, ei, it):
         (dr, di), info = fwd.planes(er, ei)
         idx_rx = decision_idx(dr + 1j * di, coded)
-        bt = jnp.asarray(bits_h)
-        it = jnp.asarray(idx_tx)
-        ber = jnp.mean((bt[idx_rx] != bt[it]).astype(jnp.float32))
+        ham = jnp.asarray(ham_h)
+        ber = jnp.mean(ham[idx_rx * Mc + it]) / nb
         ser = jnp.mean((idx_rx != it).astype(jnp.float32))
         return ber, ser, info["sync_corr"]
 
@@ -352,7 +365,7 @@ def pilot_main(path, nframes_proc, gate_ber):
           file=sys.stderr, flush=True)
     for attempt in range(5):
         try:
-            res = jax.block_until_ready(gate(Er, Ei))
+            res = jax.block_until_ready(gate(Er, Ei, it_d))
             ber, ser, corr = [float(fetch(x, "gate")) for x in res]
             break
         except Exception as e:
@@ -448,15 +461,20 @@ def pilot_tracking_main(path, nframes_proc, gate_ber):
     print("acquiring warm-start state...", file=sys.stderr, flush=True)
     state = jax.block_until_ready(acquire(Er, Ei))
 
+    # Hamming-LUT BER + idx as argument: see pilot_main's gate note
+    it_d = jax.device_put(idx_tx)
+    Mc, nb = bits_h.shape
+    ham_h = (bits_h[:, None, :] != bits_h[None, :, :]).sum(-1).astype(
+        np.float32).reshape(-1)
+
     @jax.jit
-    def gate(er, ei, taps, shift, mo):
+    def gate(er, ei, it, taps, shift, mo):
         (dr, di), _ = track(er, ei, taps, shift, mo)
         idx_rx = decision_idx(dr + 1j * di, coded)
-        bt = jnp.asarray(bits_h)
-        it = jnp.asarray(idx_tx)
-        return jnp.mean((bt[idx_rx] != bt[it]).astype(jnp.float32))
+        ham = jnp.asarray(ham_h)
+        return jnp.mean(ham[idx_rx * Mc + it]) / nb
 
-    ber = float(np.asarray(gate(Er, Ei, *state)))
+    ber = float(np.asarray(gate(Er, Ei, it_d, *state)))
     print("tracking gate: BER=%.2e" % ber, file=sys.stderr, flush=True)
     if ber > gate_ber:
         print("tracking gate failed: %.2e > %.0e" % (ber, gate_ber),
@@ -535,20 +553,22 @@ def _supervise():
     # ---- pilot-chain number (BASELINE config 4), merged into the same
     # JSON line: TX synthesis runs in a CPU-forced subprocess, the timing
     # attempt on the real chip with a BER gate at the reference tolerance
-    tx_path = "/tmp/qampy_pilot_tx_nf124.npz"
+    tx_path = "/tmp/qampy_pilot_tx_nf164.npz"
     try:
         import os.path
         if not os.path.exists(tx_path):
             proc = subprocess.run([sys.executable, __file__,
-                                   "--pilot-maketx", tx_path, "124"],
-                                  capture_output=True, text=True, timeout=1800)
+                                   "--pilot-maketx", tx_path, "164"],
+                                  capture_output=True, text=True, timeout=2400)
             if proc.returncode != 0:
                 raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
-        # 120 frames/dispatch amortises the sync+train prefix further than
-        # the r3 80-frame config (measured 905.9 vs 765-861 Msym/s, BER 0);
-        # 160 frames fails remote compile (tpu_compile_helper exit 1), so
-        # 120 is the shipped dispatch size with 80 as the fallback
-        for nfp, gate in ((120, 1e-5), (120, 1e-5), (80, 1e-5)):  # retries, flaky tunnel
+        # 160 frames/dispatch amortises the sync+train prefix further than
+        # the r3 80-frame config (measured 1259.6 vs 765-861 Msym/s, BER 0).
+        # 160 needed two fixes to compile: idx_tx as a gate ARGUMENT (81 MB
+        # closure constant overflowed the remote compile helper) and the
+        # Hamming-LUT BER (the bitmap gather's 6->128 minor-dim padding
+        # cost 19 GB of HLO temps). 120/80 remain as fallbacks.
+        for nfp, gate in ((160, 1e-5), (160, 1e-5), (120, 1e-5), (80, 1e-5)):  # retries, flaky tunnel
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
                                    tx_path, str(nfp), repr(gate)],
                                   capture_output=True, text=True, timeout=1800)
@@ -567,7 +587,7 @@ def _supervise():
     # a failure or timeout leaves the main numbers untouched
     try:
         proc = subprocess.run([sys.executable, __file__, "--pilot-tracking",
-                               tx_path, "120", "1e-5"],
+                               tx_path, "160", "1e-5"],
                               capture_output=True, text=True, timeout=1500)
         line = ""
         for l in proc.stdout.strip().splitlines():
