@@ -553,22 +553,23 @@ def _supervise():
     # ---- pilot-chain number (BASELINE config 4), merged into the same
     # JSON line: TX synthesis runs in a CPU-forced subprocess, the timing
     # attempt on the real chip with a BER gate at the reference tolerance
-    tx_path = "/tmp/qampy_pilot_tx_nf164.npz"
+    tx_path = "/tmp/qampy_pilot_tx_nf244.npz"
     try:
         import os.path
         if not os.path.exists(tx_path):
             proc = subprocess.run([sys.executable, __file__,
-                                   "--pilot-maketx", tx_path, "164"],
+                                   "--pilot-maketx", tx_path, "244"],
                                   capture_output=True, text=True, timeout=2400)
             if proc.returncode != 0:
                 raise RuntimeError("maketx failed: %s" % proc.stderr[-1000:])
-        # 160 frames/dispatch amortises the sync+train prefix further than
-        # the r3 80-frame config (measured 1259.6 vs 765-861 Msym/s, BER 0).
-        # 160 needed two fixes to compile: idx_tx as a gate ARGUMENT (81 MB
-        # closure constant overflowed the remote compile helper) and the
-        # Hamming-LUT BER (the bitmap gather's 6->128 minor-dim padding
-        # cost 19 GB of HLO temps). 120/80 remain as fallbacks.
-        for nfp, gate in ((160, 1e-5), (160, 1e-5), (120, 1e-5), (80, 1e-5)):  # retries, flaky tunnel
+        # 240 frames/dispatch amortises the sync+train prefix further than
+        # the r3 80-frame config (measured 1370.3 vs 765-861 Msym/s, BER 0;
+        # 160 measured 1259.6-1260.7). Large dispatches needed two fixes to
+        # compile: idx_tx as a gate ARGUMENT (81 MB closure constant
+        # overflowed the remote compile helper) and the Hamming-LUT BER
+        # (the bitmap gather's 6->128 minor-dim padding cost 19 GB of HLO
+        # temps at 160 frames). 160/80 remain as fallbacks.
+        for nfp, gate in ((240, 1e-5), (240, 1e-5), (160, 1e-5), (80, 1e-5)):  # retries, flaky tunnel
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
                                    tx_path, str(nfp), repr(gate)],
                                   capture_output=True, text=True, timeout=1800)
@@ -587,7 +588,7 @@ def _supervise():
     # a failure or timeout leaves the main numbers untouched
     try:
         proc = subprocess.run([sys.executable, __file__, "--pilot-tracking",
-                               tx_path, "160", "1e-5"],
+                               tx_path, "240", "1e-5"],
                               capture_output=True, text=True, timeout=1500)
         line = ""
         for l in proc.stdout.strip().splitlines():
