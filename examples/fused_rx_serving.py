@@ -7,7 +7,7 @@ blind phase search, derotation) into ONE jittable program, and
 ``ops.pilot_chain.make_pilot_rx_chain`` does the same for the complete
 pilot receiver (frame sync, two-stage pilot equalisation, per-frame
 filtering + pilot CPE). These are the programs behind bench.py's
-973 Msym/s blind / 1180 Msym/s pilot / 1571 Msym/s tracking figures on
+966-973 Msym/s blind / 1332-1370 Msym/s pilot / up-to-1577 tracking figures on
 one TPU v5e chip (docs/PERFORMANCE.md). Both chains also expose
 PLANES-native serving entries (``forward.planes`` /
 ``.tracking_planes``: float32 real/imag planes in and out, no complex
