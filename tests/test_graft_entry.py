@@ -46,3 +46,22 @@ class TestDryrun:
     def test_dryrun_multichip(self):
         # conftest already forces an 8-device CPU backend
         graft.dryrun_multichip(8)
+
+
+class TestBenchGateMath:
+    def test_hamming_lut_ber_matches_bitmap(self):
+        """bench.py counts bit errors through a (M, M) Hamming-distance
+        LUT gather (the naive (nmodes, Nsym, log2M) bitmap gather pads
+        its minor dim 6 -> 128 on TPU: 19 GB of HLO temps at 240
+        frames). The LUT form must equal the bitmap form exactly."""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        M, nb, N = 64, 6, 50000
+        bits = rng.integers(0, 2, size=(M, nb)).astype(np.float32)
+        idx_rx = rng.integers(0, M, size=(2, N))
+        idx_tx = rng.integers(0, M, size=(2, N))
+        ber_bitmap = np.mean(bits[idx_rx] != bits[idx_tx])
+        ham = (bits[:, None, :] != bits[None, :, :]).sum(-1).astype(
+            np.float32).reshape(-1)
+        ber_lut = np.mean(ham[idx_rx * M + idx_tx]) / nb
+        assert np.isclose(ber_bitmap, ber_lut, rtol=0, atol=1e-6)  # f32 mean
