@@ -65,6 +65,61 @@ def pre_filter_wdm(signal, bw, os, center_freq=0):
     return jnp.fft.ifft(jnp.fft.fft(signal, axis=-1) * h, axis=-1)
 
 
+#: sample count above which the IIR paths switch from the sequential
+#: lax.scan recurrence to the parallel-prefix (associative scan) form —
+#: the scan runs O(N) dependent steps (serving-hostile on TPU: measured
+#: ~ seconds at 2^20 samples), the prefix form O(log N) full-width VPU
+#: passes over tiny (state x state) matrices (docs/PERFORMANCE.md).
+IIR_ASSOC_MIN_SAMPLES = 4096
+#: the prefix form materialises (N, n, n) transition products; beyond
+#: this state dimension the memory trade stops paying and the exact scan
+#: is kept (with a performance warning at serving sizes).
+IIR_ASSOC_MAX_STATE = 4
+
+
+def _affine_prefix_states(M, bs):
+    """All states of ``s[k] = M @ s[k-1] + bs[k]`` (``s[-1] = 0``) via
+    ``lax.associative_scan`` — the affine maps ``x -> M x + b`` compose
+    associatively (``(A2, b2) o (A1, b1) = (A2 A1, A2 b1 + b2)``), so the
+    O(N) sequential IIR recurrence becomes O(log N) parallel passes of
+    tiny batched (n, n) matmuls. Exact in exact arithmetic (no
+    truncation); ``M`` is the static (n, n) transition matrix and ``bs``
+    the (N, n, modes) per-step offsets. Returns (N, n, modes) states."""
+    N = bs.shape[0]
+    A0 = jnp.broadcast_to(M.astype(bs.dtype), (N,) + M.shape)
+
+    def comb(a, b):
+        A1, b1 = a
+        A2, b2 = b
+        return jnp.matmul(A2, A1), jnp.einsum('nij,njm->nim', A2, b1) + b2
+
+    _, S = jax.lax.associative_scan(comb, (A0, bs))
+    return S
+
+
+def _sosfilt_assoc(sos, x):
+    """Parallel-prefix sosfilt: same DF2T recurrence as ``_sosfilt_scan``
+    but each biquad section's state sequence comes from
+    ``_affine_prefix_states`` (z' = M z + c x with
+    M = [[-a1, 1], [-a2, 0]], c = [b1 - a1 b0, b2 - a2 b0];
+    y = b0 x + z[0]). Sections compose sequentially (nsec passes)."""
+    x = jnp.asarray(x)
+    sos = np.asarray(sos, dtype=np.float64)
+    rdt = x.real.dtype
+    xcur = x.T                                    # (N, modes)
+    nmodes = xcur.shape[1]
+    for s in range(sos.shape[0]):
+        b0, b1, b2, _, a1, a2 = sos[s]
+        M = jnp.asarray(np.array([[-a1, 1.0], [-a2, 0.0]]), dtype=rdt)
+        c = jnp.asarray(np.array([b1 - a1 * b0, b2 - a2 * b0]), dtype=rdt)
+        bs = c[None, :, None] * xcur[:, None, :]  # (N, 2, modes)
+        S = _affine_prefix_states(M, bs)          # S[k] = z after step k
+        z0 = jnp.concatenate(
+            [jnp.zeros((1, nmodes), S.dtype), S[:-1, 0]], axis=0)
+        xcur = rdt.type(b0) * xcur + z0
+    return xcur.T
+
+
 def _sosfilt_scan(sos, x):
     """Sequential second-order-section IIR filtering via lax.scan.
 
@@ -147,7 +202,10 @@ def filter_signal(signal, fs, cutoff, ftype="bessel", order=2, analog=False):
         sos = scisig.butter(order, cutoff, 'low', analog=False, output='sos', fs=fs)
     else:
         raise ValueError("unknown filter type %s" % ftype)
-    out = _sosfilt_scan(sos, sig)
+    if sig.shape[-1] >= IIR_ASSOC_MIN_SAMPLES:
+        out = _sosfilt_assoc(sos, sig)
+    else:
+        out = _sosfilt_scan(sos, sig)
     return out.flatten() if jnp.asarray(signal).ndim == 1 else out
 
 
@@ -186,6 +244,28 @@ def _lsim_scan(b, a, sig, fs):
     Cr = C[0].astype(sig.real.dtype)
     Dr = np.asarray(D).reshape(-1)[0].astype(sig.real.dtype)
 
+    sig_c = sig.astype(cdt)
+    N = sig_c.shape[-1]
+    if N >= IIR_ASSOC_MIN_SAMPLES and n <= IIR_ASSOC_MAX_STATE:
+        # parallel-prefix form: x[k+1] = Ad x[k] + (Bd0 u[k] + Bd1 u[k+1])
+        # is affine with constant Ad — O(log N) passes instead of N
+        # dependent scan steps (exact recurrence, no truncation)
+        u = sig_c.T                                   # (N, modes)
+        bs = (jnp.asarray(Bd0)[None, :, None] * u[:-1, None, :]
+              + jnp.asarray(Bd1)[None, :, None] * u[1:, None, :])
+        S = _affine_prefix_states(jnp.asarray(Ad), bs)   # (N-1, n, modes)
+        xs = jnp.concatenate(
+            [jnp.zeros((1, n, u.shape[1]), S.dtype), S], axis=0)
+        y = jnp.einsum('i,nim->nm', jnp.asarray(Cr), xs) + Dr * u
+        return y.T
+    if N >= IIR_ASSOC_MIN_SAMPLES:
+        import warnings
+        warnings.warn(
+            "filter_signal(analog=True) with filter order %d falls back "
+            "to the sequential per-sample scan (parallel-prefix path is "
+            "bounded at state dim %d); expect O(N) serial time at %d "
+            "samples" % (n, IIR_ASSOC_MAX_STATE, N), stacklevel=2)
+
     def run_mode(u):
         def step(x, uk):
             u0, u1 = uk
@@ -198,7 +278,7 @@ def _lsim_scan(b, a, sig, fs):
         y_last = jnp.sum(Cr * _) + Dr * u[-1]
         return jnp.concatenate([y, y_last[None]])
 
-    return jax.vmap(run_mode)(sig.astype(cdt))
+    return jax.vmap(run_mode)(sig_c)
 
 
 def _rrcos_pulseshaping_freq(sig, fs, T, beta):

@@ -381,7 +381,17 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         paths)."""
         if Pi is not None:
             P = jnp.concatenate([jnp.asarray(P), jnp.asarray(Pi)], axis=0)
-        return _fwd(jnp.asarray(P), True)
+        P = jnp.asarray(P)
+        # the XLA fallback path would silently accept a complex or
+        # mis-stacked operand and produce wrong symbols (the Pallas filter
+        # asserts); fail loudly on the [Re; Im] stacking contract instead
+        assert not jnp.iscomplexobj(P), \
+            "forward_planes takes float32 planes, not a complex array " \
+            "(stack [E.real; E.imag] rows or call forward(E))"
+        assert P.shape[0] % 2 == 0, \
+            "forward_planes expects stacked [Re rows; Im rows] with an " \
+            "even row count, got shape %r" % (P.shape,)
+        return _fwd(P, True)
 
     forward.planes = forward_planes
     # introspection: which kernel path the built chain actually takes

@@ -755,8 +755,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         if foe_comp and foe is None:
             import warnings
             warnings.warn(
-                "chain built with foe_comp=True but forward_tracking got no "
-                "foe=: the frozen taps were trained on FOE-compensated "
+                "chain built with foe_comp=True but the tracking entry got "
+                "no foe=: the frozen taps were trained on FOE-compensated "
                 "segments while this capture is demodulated uncompensated; "
                 "pass the previous dispatch's info['foe']", stacklevel=2)
         E2 = E if mode_order is None else E[jnp.asarray(mode_order)]
@@ -802,8 +802,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         if foe_comp and foe is None:
             import warnings
             warnings.warn(
-                "chain built with foe_comp=True but tracking_planes got no "
-                "foe=: the frozen taps were trained on FOE-compensated "
+                "chain built with foe_comp=True but the tracking entry got "
+                "no foe=: the frozen taps were trained on FOE-compensated "
                 "segments while this capture is demodulated uncompensated; "
                 "pass the previous dispatch's info['foe']", stacklevel=2)
         shift = jnp.asarray(shift, jnp.int32)

@@ -268,3 +268,75 @@ def pilot_based_cpe(signal, pilot_symbs, pilot_idx, frame_len, seq_len=None,
 
 # keep the reference name available
 pilot_based_cpe_new = pilot_based_cpe
+
+
+def pilot_based_cpe_legacy(rec_symbs, pilot_symbs, pilot_ins_ratio,
+                           num_average=1, use_pilot_ratio=1,
+                           max_num_blocks=None, remove_phase_pilots=True):
+    """Legacy block-structured pilot CPE (reference ``pilot_based_cpe``).
+
+    Parity: reference core/pilotbased_receiver.py:167-256. ``rec_symbs``
+    comes in blocks of ``pilot_ins_ratio`` symbols whose FIRST symbol is a
+    pilot; the phase is averaged over ``num_average`` pilots (forced odd),
+    edge blocks take the raw first phases / the last averaged phase, and
+    the trace is linearly interpolated per block. Superseded in the
+    reference itself by ``pilot_based_cpe_new`` (:258-327, which is what
+    ``phaserec.pilot_cpe`` and this package's serving chain use); kept for
+    API parity under a ``_legacy`` suffix because the living
+    ``pilot_based_cpe`` name here carries the _new signature.
+
+    Note: the reference hard-codes 2 modes in its edge-extension
+    (``t2 = pp2[:, -1].reshape(2, 1)``, :245) — this port uses the
+    mode-count-agnostic equivalent ``avg[:, -1:]``.
+
+    Returns (data_symbs, phase_trace).
+    """
+    rec_symbs = jnp.atleast_2d(jnp.asarray(rec_symbs))
+    pilot_symbs = jnp.atleast_2d(jnp.asarray(pilot_symbs))
+    ins = int(pilot_ins_ratio)
+    upr = int(use_pilot_ratio)
+    num_blocks = rec_symbs.shape[-1] // ins
+    if max_num_blocks is not None and num_blocks > max_num_blocks:
+        num_blocks = int(max_num_blocks)
+    if num_blocks % upr:
+        num_blocks -= num_blocks % upr
+    rec_pilots = rec_symbs[:, ::ins][:, :num_blocks]
+    rec_symbs = rec_symbs[:, : ins * num_blocks]
+    # clamp against the number of reference pilots (reference :210-216)
+    num_ref = pilot_symbs.shape[-1]
+    if num_blocks > num_ref:
+        num_blocks = num_ref
+        rec_symbs = rec_symbs[:, : num_blocks * ins]
+        rec_pilots = rec_pilots[:, :num_blocks]
+    elif num_ref > num_blocks:
+        pilot_symbs = pilot_symbs[:, :num_blocks]
+    if upr >= pilot_symbs.shape[-1]:
+        raise ValueError(
+            "Can not use every %d pilots since only %d pilot symbols are "
+            "present" % (upr, pilot_symbs.shape[-1]))
+    rec_pilots = rec_pilots[:, ::upr]
+    pilot_symbs = pilot_symbs[:, ::upr]
+    if pilot_symbs.shape[-1] <= num_average:
+        raise ValueError(
+            "Inpropper pilot symbol configuration. Larger averaging block "
+            "size than total number of pilot symbols")
+    if not num_average % 2:
+        num_average += 1
+    base = jnp.unwrap(jnp.angle(jnp.conj(pilot_symbs) * rec_pilots), axis=-1)
+    avg = core_filter.moving_average(base, num_average)
+    half = (num_average - 1) // 2
+    pilot_phase = jnp.concatenate(
+        [base[:, :half], avg,
+         jnp.broadcast_to(avg[:, -1:], base[:, :half].shape)], axis=-1)
+    npts = pilot_phase.shape[-1]
+    pos = np.arange(0, npts * ins * upr, ins * upr)
+    pos_new = np.arange(0, npts * ins * upr)
+    phase_trace = jax.vmap(
+        lambda p: jnp.interp(jnp.asarray(pos_new).astype(p.dtype),
+                             jnp.asarray(pos).astype(p.dtype), p))(pilot_phase)
+    data_symbs = rec_symbs * jnp.exp(-1j * phase_trace).astype(rec_symbs.dtype)
+    if remove_phase_pilots:
+        keep = np.ones(data_symbs.shape[-1], dtype=bool)
+        keep[np.arange(0, data_symbs.shape[-1], ins)] = False
+        data_symbs = data_symbs[:, np.nonzero(keep)[0]]
+    return data_symbs, phase_trace

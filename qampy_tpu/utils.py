@@ -52,24 +52,61 @@ def rolling_window(data, size, wrap=False):
     return data[..., idx]
 
 
-def segment_axis(a, length, overlap=0, axis=-1):
+def segment_axis(a, length, overlap=0, axis=-1, end='cut', endvalue=0):
     """Generate overlapping frames along an axis.
 
-    Simplified parity with reference core/segmentaxis.py:26-128 for the cases
-    used internally (full frames only; tail samples that do not fill a frame
-    are dropped, matching ``end='cut'``).
+    Parity: reference core/segmentaxis.py:26-128 including the tail
+    handling modes — ``end='cut'`` discards a partial last frame,
+    ``end='pad'`` extends the axis with ``endvalue`` and ``end='wrap'``
+    extends it with values from the start of the axis, each to the next
+    full segmentation. Implemented as a gather (XLA has no strided views)
+    so it stays jit/shard friendly. One deviation: ``axis`` defaults to
+    the trailing axis instead of the reference's ``None`` (flatten);
+    passing ``axis=None`` reproduces the reference default exactly.
     """
     a = jnp.asarray(a)
+    if axis is None:
+        a = a.reshape(-1)
+        axis = -1
+    pos = axis % a.ndim if axis != -1 else None
     if axis != -1:
         a = jnp.moveaxis(a, axis, -1)
     step = length - overlap
-    assert step > 0, "overlap must be smaller than length"
+    if overlap >= length:
+        raise ValueError("frames cannot overlap by more than 100%")
+    if overlap < 0 or length <= 0:
+        raise ValueError(
+            "overlap must be nonnegative and length must be positive")
     n = a.shape[-1]
-    nseg = 1 + (n - length) // step if n >= length else 0
+    if n < length or (n - length) % step:
+        if end == 'cut':
+            if n < length:
+                raise ValueError(
+                    "Not enough data points to segment array in 'cut' "
+                    "mode; try 'pad' or 'wrap'")
+        elif end in ('pad', 'wrap'):
+            roundup = (length if n < length
+                       else length + (1 + (n - length) // step) * step)
+            extra = roundup - n
+            if end == 'pad':
+                tail = jnp.full(a.shape[:-1] + (extra,), endvalue,
+                                dtype=a.dtype)
+            else:
+                if extra > n:
+                    raise ValueError(
+                        "'wrap' needs at least length-overlap data points")
+                tail = a[..., :extra]
+            a = jnp.concatenate([a, tail], axis=-1)
+            n = roundup
+        else:
+            raise ValueError("end must be 'cut', 'pad' or 'wrap'")
+    nseg = 1 + (n - length) // step
     idx = jnp.arange(nseg)[:, None] * step + jnp.arange(length)[None, :]
     out = a[..., idx]
-    if axis != -1:
-        out = jnp.moveaxis(out, -2, axis if axis >= 0 else axis - 1)
+    if pos is not None:
+        # reference layout: the (nseg, length) pair replaces the original
+        # axis in place (core/segmentaxis.py:116-118)
+        out = jnp.moveaxis(out, (-2, -1), (pos, pos + 1))
     return out
 
 

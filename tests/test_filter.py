@@ -183,3 +183,67 @@ class TestAnalogLsim:
         p_in = float(np.mean(np.abs(np.asarray(s2.samples)) ** 2))
         p_out = float(np.mean(np.abs(np.asarray(out.samples)) ** 2))
         assert 0.5 * p_in < p_out <= 1.1 * p_in
+
+
+class TestIIRParallelPrefix:
+    """The associative-scan IIR forms (used above IIR_ASSOC_MIN_SAMPLES,
+    serving sizes) vs the exact sequential scan recurrence and scipy."""
+
+    def test_sosfilt_assoc_matches_scan(self, rng):
+        import scipy.signal as scisig
+        sos = scisig.bessel(4, 0.2, 'low', norm='mag', output='sos', fs=2)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        a = np.asarray(cfilter._sosfilt_assoc(sos, x))
+        b = np.asarray(cfilter._sosfilt_scan(sos, x))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    def test_sosfilt_assoc_complex_x64(self):
+        import jax
+        import scipy.signal as scisig
+        with jax.enable_x64():
+            rng = np.random.default_rng(3)
+            sos = scisig.butter(3, 0.3, 'low', output='sos', fs=2)
+            x = (rng.standard_normal((2, 4500))
+                 + 1j * rng.standard_normal((2, 4500)))
+            got = np.asarray(cfilter._sosfilt_assoc(sos, x))
+            want = scisig.sosfilt(sos, x, axis=-1)
+            np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+    def test_filter_signal_dispatches_assoc_above_threshold(self):
+        # public path at serving size: digital sosfilt result must agree
+        # with scipy at the serving length that triggers the prefix form
+        import scipy.signal as scisig
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((2, cfilter.IIR_ASSOC_MIN_SAMPLES + 128)
+                                ).astype(np.float32)
+        got = np.asarray(cfilter.filter_signal(x, 2.0, 0.25, ftype="butter",
+                                               order=4))
+        sos = scisig.butter(4, 0.25, 'low', output='sos', fs=2)
+        want = scisig.sosfilt(sos, x, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    def test_lsim_assoc_matches_scipy_x64(self):
+        import jax
+        import scipy.signal as scisig
+        with jax.enable_x64():
+            rng = np.random.default_rng(12)
+            fs, cutoff, N = 4.0, 0.3, 5000
+            u = rng.standard_normal((2, N))
+            got = np.asarray(cfilter.filter_signal(
+                u, fs, cutoff, ftype="bessel", order=2, analog=True))
+            system = scisig.bessel(2, cutoff * 2 * np.pi, 'low', norm='mag',
+                                   analog=True, output='ba')
+            t = np.arange(N) / fs
+            want = np.stack([scisig.lsim(system, u[i], t)[1]
+                             for i in range(2)])
+            np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+    def test_lsim_high_order_warns_and_falls_back(self):
+        import scipy.signal as scisig
+        rng = np.random.default_rng(13)
+        u = rng.standard_normal((1, cfilter.IIR_ASSOC_MIN_SAMPLES)
+                                ).astype(np.float32)
+        with pytest.warns(UserWarning, match="sequential per-sample scan"):
+            got = np.asarray(cfilter.filter_signal(
+                u, 4.0, 0.3, ftype="butter", order=6, analog=True))
+        assert got.shape == u.shape

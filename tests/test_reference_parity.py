@@ -878,3 +878,101 @@ class TestExtendedMethodsOracle:
                                        rtol=1e-9, atol=1e-12)
             np.testing.assert_allclose(np.asarray(err), err_ref,
                                        rtol=1e-9, atol=1e-12)
+
+
+class TestSegmentAxisEndModes:
+    """utils.segment_axis end='cut'/'pad'/'wrap' vs reference
+    core/segmentaxis.py:26-128 (including axis placement and axis=None)."""
+
+    def test_end_modes_elementwise(self):
+        from qampy.core import segmentaxis as ref_sa
+        from qampy_tpu import utils
+        with jax.enable_x64():
+            rng = np.random.default_rng(7)
+            x = rng.standard_normal(37)
+            for length, overlap in ((4, 2), (5, 0), (8, 3)):
+                for end in ("cut", "pad", "wrap"):
+                    want = ref_sa.segment_axis(x, length, overlap, end=end,
+                                               endvalue=-3.5)
+                    got = np.asarray(utils.segment_axis(
+                        x, length, overlap, axis=None, end=end,
+                        endvalue=-3.5))
+                    np.testing.assert_array_equal(got, want)
+
+    def test_axis_placement(self):
+        from qampy.core import segmentaxis as ref_sa
+        from qampy_tpu import utils
+        with jax.enable_x64():
+            rng = np.random.default_rng(8)
+            # exact fit ((26-6) % (6-2) == 0): the reference's stride-trick
+            # path works on every axis here (its pad/wrap path raises
+            # ValueError for non-trailing axes of ND arrays — stride
+            # computation on the swapped copy, segmentaxis.py:104-111)
+            # non-negative axes only: the reference's stride build uses
+            # ``a.shape[axis + 1:]`` (segmentaxis.py:106), which for
+            # axis=-1 appends the WHOLE shape and raises ValueError
+            x = rng.standard_normal((26, 26, 26))
+            for axis in (0, 1, 2):
+                want = ref_sa.segment_axis(x, 6, 2, axis=axis, end="cut")
+                got = np.asarray(utils.segment_axis(x, 6, 2, axis=axis,
+                                                    end="cut"))
+                np.testing.assert_array_equal(got, want)
+
+    def test_cut_raises_when_too_short(self):
+        from qampy_tpu import utils
+        with pytest.raises(ValueError):
+            utils.segment_axis(np.arange(3), 5, 0, end="cut")
+
+
+class TestPilotCpeLegacy:
+    """ops.pilots.pilot_based_cpe_legacy vs reference
+    core/pilotbased_receiver.py:167-256 (the superseded block-averaged
+    variant; the reference hard-codes 2 modes at :245, so parity is run at
+    nmodes=2 where both agree)."""
+
+    @pytest.mark.parametrize("upr,navg,maxblk", [(1, 3, None), (2, 5, None),
+                                                 (1, 4, 40)])
+    def test_elementwise(self, upr, navg, maxblk):
+        from qampy.core import pilotbased_receiver as ref_pr
+        from qampy_tpu.ops import pilots
+        with jax.enable_x64():
+            rng = np.random.default_rng(17)
+            ins, nblk = 8, 64
+            const = (np.asarray(theory.cal_symbols_qam(4))
+                     / np.sqrt(float(theory.cal_scaling_factor_qam(4))))
+            pil = const[rng.integers(0, 4, size=(2, nblk))]
+            data = const[rng.integers(0, 4, size=(2, nblk * ins))]
+            sym = data.copy()
+            sym[:, ::ins] = pil
+            ph = np.cumsum(0.02 * rng.standard_normal((2, nblk * ins)),
+                           axis=-1)
+            rx = sym * np.exp(1j * ph)
+            rx += 0.01 * (rng.standard_normal(rx.shape)
+                          + 1j * rng.standard_normal(rx.shape))
+            want_d, want_ph = ref_pr.pilot_based_cpe(
+                rx.copy(), pil.copy(), ins, num_average=navg,
+                use_pilot_ratio=upr, max_num_blocks=maxblk)
+            got_d, got_ph = pilots.pilot_based_cpe_legacy(
+                rx, pil, ins, num_average=navg, use_pilot_ratio=upr,
+                max_num_blocks=maxblk)
+            np.testing.assert_allclose(np.asarray(got_ph), want_ph,
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(got_d), want_d,
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_remove_phase_pilots_false(self):
+        from qampy.core import pilotbased_receiver as ref_pr
+        from qampy_tpu.ops import pilots
+        with jax.enable_x64():
+            rng = np.random.default_rng(18)
+            ins, nblk = 4, 32
+            rx = (rng.standard_normal((2, nblk * ins))
+                  + 1j * rng.standard_normal((2, nblk * ins)))
+            pil = np.exp(1j * rng.uniform(0, 2 * np.pi, (2, nblk)))
+            want_d, _ = ref_pr.pilot_based_cpe(
+                rx.copy(), pil.copy(), ins, num_average=3,
+                remove_phase_pilots=False)
+            got_d, _ = pilots.pilot_based_cpe_legacy(
+                rx, pil, ins, num_average=3, remove_phase_pilots=False)
+            np.testing.assert_allclose(np.asarray(got_d), want_d,
+                                       rtol=1e-9, atol=1e-12)

@@ -37,8 +37,9 @@ def timeit(fwd, Er, Ei, label):
 
 def main():
     argv = list(sys.argv[1:])
-    # default to the bench's capture (bench.py --pilot-maketx <path> 124)
-    path, nframes, block_size = "/tmp/qampy_pilot_tx_nf124.npz", 10, 128
+    # default to the capture a plain `python bench.py` run writes
+    # (244 frames); pass --tx for a capture made with --pilot-maketx <n>
+    path, nframes, block_size = "/tmp/qampy_pilot_tx_nf244.npz", 10, 128
     if "--tx" in argv:
         i = argv.index("--tx"); path = argv[i + 1]; del argv[i:i + 2]
     if "--frames" in argv:
