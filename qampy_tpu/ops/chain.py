@@ -260,8 +260,19 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         from qampy_tpu.ops.equaliser_pallas import pallas_filter_group
         filt_group = (pallas_filter_group(os, Ntaps, nmodes)
                       if (pallas or pallas_gen) else 0)
-        dec = 8 if (bps_mode == "twostage-dec" and filt_group >= 8
-                    and filt_group % 8 == 0) else None
+        dec_req = None
+        if bps_mode == "twostage-dec":
+            dec_req = 8
+        elif bps_mode.startswith("decimated"):
+            dec_req = int(bps_mode[len("decimated"):] or 8)
+        dec = (dec_req if (dec_req is not None and filt_group >= dec_req
+                           and filt_group % dec_req == 0) else None)
+        if bps_mode.startswith("decimated") and dec is None:
+            warnings.warn(
+                "bps_mode=%r needs the fused Pallas filter with a phase "
+                "group divisible by the stride (got group %d); falling "
+                "back to the single-grid BPS" % (bps_mode, filt_group),
+                stacklevel=2)
         from qampy_tpu.ops.equaliser_pallas import apply_filter_pallas_planes
         eqp = None
         if (pallas or pallas_gen) and filt_group > 1:
@@ -289,6 +300,49 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                             else (eqp[0] + 1j * eqp[1]).astype(E.dtype), ph)
             return (out.real, out.imag) if planes_out else out
 
+        if pallas and dec is not None and bps_mode.startswith("decimated"):
+            # FULLY decimated carrier recovery (the >2x lever named by the
+            # r4 roofline, docs/PERFORMANCE.md): the carrier phase is
+            # grossly oversampled at the symbol rate, so the WHOLE blind
+            # phase search runs on the filter's stride-``dec`` side output
+            # (1/dec of the samples, free from the filter kernel's one-hot
+            # row selection) — a full 2N-point window per decided sample
+            # spanning dec x the time (same noise averaging as the
+            # full-rate search, wider slip suppression) — and the
+            # per-sample phase comes back as PIECEWISE-LINEAR
+            # interpolation fused into the rotation kernel (the pilot
+            # CPE's interp-rotate pattern, per-block (a, b) coefficients).
+            # No per-sample BPS work remains: the phase search cost drops
+            # ~1/dec and the derotation costs the same as the plain fused
+            # unwrap+derotate. Differs from "twostage-dec" (measured dead
+            # end): that mode kept the full-rate per-sample FINE stage.
+            from qampy_tpu.ops.phase_pallas import (
+                bps_idx_pallas, interp_rotate_planes_pallas)
+            idxd = bps_idx_pallas(None, angles_h, grid, bps_N,
+                                  T=min(bps_tile, 8192), win_dtype=win_dtype,
+                                  compute_dtype=bps_cd, planes=decp)
+            phd = lo_a + step_a * idxd.astype(jnp.float32)
+            # pi/2 unwrap on the DECIMATED phase (Lout/dec samples — the
+            # full-rate unwrap never runs); same floor tie-break as the
+            # fused kernel
+            dph = phd[:, 1:] - phd[:, :-1]
+            half_pi = jnp.float32(np.pi / 2)
+            corr = -half_pi * jnp.floor(dph / half_pi + 0.5)
+            phu = phd + jnp.cumsum(jnp.pad(corr, ((0, 0), (1, 0))), axis=-1)
+            # block j covers full-rate samples [j*dec, (j+1)*dec): linear
+            # coefficients a=phu[j], b=(phu[j+1]-phu[j])/dec, tail clamped
+            b_blk = jnp.pad(phu[:, 1:] - phu[:, :-1],
+                            ((0, 0), (0, 1))) / dec
+            # the decimated grid covers ceil(Lout/dec) blocks: pad the
+            # full-rate planes to the block boundary, slice back after
+            Lout = eqp[0].shape[-1]
+            Lpad = phu.shape[-1] * dec
+            er_p = jnp.pad(eqp[0], ((0, 0), (0, Lpad - Lout)))
+            ei_p = jnp.pad(eqp[1], ((0, 0), (0, Lpad - Lout)))
+            outr, outi = interp_rotate_planes_pallas(
+                er_p, ei_p, phu, b_blk, dx=dec, sign=1, T=bps_tile)
+            outr, outi = outr[:, :Lout], outi[:, :Lout]
+            return (outr, outi) if planes_out else outr + 1j * outi
         if pallas and dec is not None:
             # decimated-coarse two-stage BPS: the carrier phase is grossly
             # oversampled at the symbol rate, so the coarse grid search runs

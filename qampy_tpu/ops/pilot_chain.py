@@ -195,6 +195,82 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             adaptive=True, block_size=S)
         return err, wx
 
+    def _train_window(w_seg):
+        """One sync-search candidate window: short CMA training, returns
+        (taps, per-mode complex error variance) — reference :383-385."""
+        err, wx = _train(w_seg, TrS_sync, sync_Niter, sync_mu,
+                         jnp.asarray(w0_sync), jnp.asarray(sym_sync), "cma")
+        em = jnp.mean(err, axis=-1, keepdims=True)
+        return wx, jnp.mean(jnp.abs(err - em) ** 2, axis=-1)
+
+    def _sync_train_subset(pr, pi, wlo, wcount):
+        """Train candidate windows [wlo, wlo+wcount) of the frame search.
+
+        Windows start at multiples of ``step`` and span two steps, so the
+        subset extraction is two shifted reshapes of one contiguous
+        (wcount+1)*step slice (no gather). ``wlo`` may be traced (the
+        mesh-sharded prefix gives each device its own window range)."""
+        blk = (lax.dynamic_slice(pr, (0, (2 + wlo) * step),
+                                 (nmodes, (wcount + 1) * step))
+               + 1j * lax.dynamic_slice(pi, (0, (2 + wlo) * step),
+                                        (nmodes, (wcount + 1) * step)))
+        blk = blk.reshape(nmodes, wcount + 1, step)
+        win = jnp.concatenate([blk[:, :wcount], blk[:, 1:wcount + 1]],
+                              axis=-1)
+        return jax.vmap(_train_window)(win.swapaxes(0, 1))
+
+    def _align_heavy(pr, pi, wx_iw, iw, l, fdt):
+        """Per-output-mode alignment, heavy part (reference :397-418):
+        filter the 2-window segment around the winning start with that
+        window's taps, coarse 4th-power FOE, and one batched FFT xcorr of
+        BOTH the raw and FOE-derotated hypotheses against every tx pilot
+        sequence. Returns the SMALL decision inputs
+        (acm2 (2, nmodes) peak metrics, delays2 (2, nmodes), foe_l) — the
+        greedy assignment consuming them is tiny traced arithmetic, so
+        this heavy part can run sharded per mode on a mesh."""
+        seg0 = jnp.asarray(starts)[iw] - sw
+        seg = (lax.dynamic_slice(pr, (0, seg0), (nmodes, 2 * sw))
+               + 1j * lax.dynamic_slice(pi, (0, seg0), (nmodes, 2 * sw)))
+        sy = eqops.apply_filter_to_signal(seg, os, wx_iw)   # (nmodes, Ls)
+        f4 = jnp.abs(jnp.fft.fft(sy ** 4, foe_fft, axis=-1)) ** 2
+        fvec = jnp.asarray(np.fft.fftfreq(foe_fft) / 4, fdt)
+        foe_l = jnp.mean(fvec[jnp.argmax(f4, axis=-1)])
+        t = jnp.arange(1, Ls + 1, dtype=fdt)
+        rot = jnp.exp(-1j * (2 * np.pi * foe_l) * t).astype(seg.dtype)
+        sy2 = jnp.stack([sy[l], sy[l] * rot])               # (2, Ls)
+        ac = _xcorr_batched(jnp.asarray(seq_f)[None, :, :],
+                            sy2[:, None, :], nxc, nfft)     # (2, nmodes, nxc)
+        acr = jnp.maximum(jnp.abs(ac.real), jnp.abs(ac.imag))
+        acm2 = jnp.max(acr, axis=-1)                        # (2, nmodes)
+        delays2 = -(jnp.argmax(jnp.abs(ac), axis=-1) - (Ls - 1))
+        return acm2, delays2, foe_l
+
+    def _greedy_assign(best_w, acm2_rows, delays2_rows, foe_rows, fdt):
+        """Greedy mode assignment from the per-mode alignment outputs
+        (reference :404-418): all traced arithmetic on (2, nmodes)-sized
+        values. Returns (mode_order, shift, sync_corr, foe_coarse)."""
+        starts_d = jnp.asarray(starts)
+        found = jnp.zeros((nmodes,), dtype=bool)
+        mode_order, shifts, peak_acs = [], [], []
+        foe_coarse = jnp.zeros((), fdt)
+        for l in range(nmodes):
+            acm2, delays2, foe_l = (acm2_rows[l], delays2_rows[l],
+                                    foe_rows[l])
+            hyp = jnp.argmax(acm2, axis=0)                  # (nmodes,)
+            acm = jnp.max(acm2, axis=0)
+            masked = jnp.where(found, -jnp.inf, acm)
+            p = jnp.argmax(masked)
+            found = found | (jnp.arange(nmodes) == p)
+            delay = delays2[hyp[p], p]
+            foe_coarse = jnp.where(jnp.asarray(l == 0),
+                                   jnp.where(hyp[p] == 1, foe_l, foe_coarse),
+                                   foe_coarse)
+            mode_order.append(p)
+            peak_acs.append(masked[p])
+            shifts.append(starts_d[best_w[l]] - sw + os * delay)
+        return (jnp.stack(mode_order), jnp.stack(shifts).astype(jnp.int32),
+                jnp.min(jnp.stack(peak_acs)), foe_coarse)
+
     def _fwd(pr, pi, _frame_base, _planes_out):
         """One full pilot RX: sync -> pilot eq -> filter -> CPE -> payload.
 
@@ -220,25 +296,10 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         # ---- 1. frame sync: batched window search ----------------------
         # windows start at multiples of step and span 2 steps: two shifted
         # (W, step) reshapes instead of a W*sw fancy-index gather
-        blk = (lax.slice(pr, (0, 2 * step), (nmodes, (W + 3) * step))
-               + 1j * lax.slice(pi, (0, 2 * step), (nmodes, (W + 3) * step)))
-        blk = blk.reshape(nmodes, W + 1, step)
-        win = jnp.concatenate([blk[:, :W], blk[:, 1:W + 1]], axis=-1)
-        win = win.swapaxes(0, 1)                             # (W, nmodes, sw)
-        w0s = jnp.asarray(w0_sync)
-
-        def train_window(w_seg):
-            err, wx = _train(w_seg, TrS_sync, sync_Niter, sync_mu, w0s,
-                             jnp.asarray(sym_sync), "cma")
-            # complex variance of the training error (reference :385)
-            em = jnp.mean(err, axis=-1, keepdims=True)
-            return wx, jnp.mean(jnp.abs(err - em) ** 2, axis=-1)
-
-        wxs, evars = jax.vmap(train_window)(win)             # (W,n,n,t), (W,n)
+        wxs, evars = _sync_train_subset(pr, pi, 0, W)         # (W,n,n,t), (W,n)
         if _stage == "sync_train":
             return jnp.sum(jnp.abs(wxs)) + jnp.sum(evars), {}
         best_w = jnp.argmin(evars, axis=0)                   # (nmodes,)
-        starts_d = jnp.asarray(starts)
 
         # ---- per-mode alignment: one batched xcorr per output mode -----
         # The reference (:399-401) estimates a coarse FOE from the equalised
@@ -249,49 +310,14 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         # output and keep the stronger hypothesis — robust to genuine
         # offsets (raw collapses, derotated peaks) and to spurious FOE
         # (derotated collapses, raw peaks) at the cost of one extra row in
-        # the already-batched FFT.
-        found = jnp.zeros((nmodes,), dtype=bool)
-        mode_order = []
-        shifts = []
-        peak_acs = []
-        foe_coarse = jnp.zeros((), fdt)
-        for l in range(nmodes):
-            iw = best_w[l]
-            seg0 = starts_d[iw] - sw
-            seg = (lax.dynamic_slice(pr, (0, seg0), (nmodes, 2 * sw))
-                   + 1j * lax.dynamic_slice(pi, (0, seg0), (nmodes, 2 * sw)))
-            wx_l = wxs[iw]                                   # traced gather
-            sy = eqops.apply_filter_to_signal(seg, os, wx_l)  # (nmodes, Ls)
-            # coarse FOE on the equalised window (reference :399-400)
-            f4 = jnp.abs(jnp.fft.fft(sy ** 4, foe_fft, axis=-1)) ** 2
-            fvec = jnp.asarray(np.fft.fftfreq(foe_fft) / 4, fdt)
-            foe_l = jnp.mean(fvec[jnp.argmax(f4, axis=-1)])
-            t = jnp.arange(1, Ls + 1, dtype=fdt)
-            rot = jnp.exp(-1j * (2 * np.pi * foe_l) * t).astype(seg.dtype)
-            sy2 = jnp.stack([sy[l], sy[l] * rot])            # (2, Ls)
-            # all (hypothesis, tx mode) pairs in ONE FFT correlation batch
-            ac = _xcorr_batched(jnp.asarray(seq_f)[None, :, :], sy2[:, None, :],
-                                nxc, nfft)                    # (2, nmodes, nxc)
-            # reference find_sequence_offset_complex: peak over the 4-fold
-            # rotation = max(|Re|, |Im|) pointwise
-            acr = jnp.maximum(jnp.abs(ac.real), jnp.abs(ac.imag))
-            acm2 = jnp.max(acr, axis=-1)                      # (2, nmodes)
-            hyp = jnp.argmax(acm2, axis=0)                    # (nmodes,)
-            acm = jnp.max(acm2, axis=0)                       # (nmodes,)
-            # greedy assignment with found-mask (reference :404-418)
-            masked = jnp.where(found, -jnp.inf, acm)
-            p = jnp.argmax(masked)
-            found = found | (jnp.arange(nmodes) == p)
-            delay = -(jnp.argmax(jnp.abs(ac[hyp[p], p])) - (Ls - 1))
-            foe_coarse = jnp.where(jnp.asarray(l == 0),
-                                   jnp.where(hyp[p] == 1, foe_l, foe_coarse),
-                                   foe_coarse)
-            mode_order.append(p)
-            peak_acs.append(masked[p])
-            shifts.append(starts_d[iw] - sw + os * delay)
-        mode_order = jnp.stack(mode_order)
-        shift = jnp.stack(shifts).astype(jnp.int32)
-        sync_corr = jnp.min(jnp.stack(peak_acs))
+        # the already-batched FFT. The heavy per-mode part (_align_heavy)
+        # feeds the tiny greedy assignment (_greedy_assign, reference
+        # :404-418).
+        rows = [_align_heavy(pr, pi, wxs[best_w[l]], best_w[l], l, fdt)
+                for l in range(nmodes)]
+        mode_order, shift, sync_corr, foe_coarse = _greedy_assign(
+            best_w, [r[0] for r in rows], [r[1] for r in rows],
+            [r[2] for r in rows], fdt)
 
         if _stage == "sync":
             return (sync_corr + jnp.sum(shift).astype(fdt)), {}
@@ -392,6 +418,99 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         tunnel ships planes anyway). Requires the Pallas fast path and a
         scan/vmap frames_mode; ``info`` is identical to ``forward``'s."""
         return _fwd(pr, pi, _frame_base, True)
+
+    def _train_mode_taps(pr, pi, eqsh_i, mode_order, i):
+        """Two-stage pilot equalisation for ONE output mode ``i`` (may be
+        traced): the per-mode body of ``_fwd``'s vmapped stage-1/2/3
+        trainings (reference :454-554), exposed separately so a mesh can
+        shard the independent per-mode trainings across device groups.
+        Same segment slice, tap init, symbol sets, stage order and
+        hyperparameters as the vmapped path (equality to reduction-order
+        ulps pinned by tests/test_pilot_chain.py::
+        test_sharded_prefix_matches_replicated).
+        Returns the (1, nmodes, Ntaps) tap row of mode ``i``."""
+        seg = (lax.dynamic_slice(pr, (0, eqsh_i), (nmodes, seg_len))
+               + 1j * lax.dynamic_slice(pi, (0, eqsh_i),
+                                        (nmodes, seg_len)))[mode_order]
+        w = jnp.asarray(w0_eq)[i][None]               # (1, nmodes, Ntaps)
+        w = _train(seg, TrS_eq, Niter, mu[0], w, jnp.asarray(sym_st1),
+                   methods[0])[1]
+        for k, (mu_k, m_k) in enumerate(((mu[0], methods[0]),
+                                         (mu[1], methods[1]))):
+            if da[k]:
+                s_k = jnp.asarray(pilot_seq)[i][None]  # (1, seq_len)
+            else:
+                sk = eqops._reshape_symbols(None, m_k, M_pilot, dtype, 1)
+                s_k = jnp.asarray(sk)
+            w = _train(seg, TrS_eq, Niter, mu_k, w, s_k, m_k)[1]
+        return w
+
+    def prefix_sharded(pr, pi, axis_name, ndev):
+        """Cold-start prefix distributed over a mesh axis (inside
+        shard_map): the three replicated-prefix terms of the
+        frame-parallel receiver each run sharded —
+
+        * the W candidate-window sync trainings (the dominant term) are
+          split into contiguous chunks per device; the per-window error
+          variances/taps are independent, so only the tiny
+          (ndev, nmodes) min/index arrays and the winning taps are
+          all-gathered;
+        * the per-mode alignment heavy part (filter + 4th-power FOE FFT +
+          batched xcorr) runs on device d for mode d % nmodes;
+        * the per-mode two-stage pilot trainings likewise.
+
+        The greedy assignment consumes only gathered (2, nmodes)-sized
+        values and runs replicated (identical on every device). Requires
+        ``ndev >= nmodes`` and a ``foe_comp=False`` chain (the pilot-FOE
+        average couples all modes; the default chain does not use it).
+        Returns ``(taps, shift, mode_order, sync_corr, foe_coarse)`` —
+        exactly the state ``forward_tracking`` consumes, identical on
+        every device. Addresses the Amdahl bound of the replicated
+        prefix (docs/PERFORMANCE.md scaling curve): the prefix cost per
+        device drops ~W/ndev for the search and ~1/min(ndev, nmodes)
+        for alignment + training instead of staying constant."""
+        assert not foe_comp, \
+            "prefix_sharded supports foe_comp=False chains (the pilot-FOE " \
+            "average couples modes; train replicated for foe_comp=True)"
+        assert ndev >= nmodes, "prefix_sharded needs ndev >= nmodes"
+        fdt = pr.dtype
+        d = lax.axis_index(axis_name)
+        chunk = -(-W // int(ndev))
+        # clamp the last device's range into [0, W) — overlap means a few
+        # windows are trained twice, which is harmless (identical results)
+        # and keeps every shape static
+        wlo = jnp.minimum(d * chunk, W - chunk)
+        wxs_l, evars_l = _sync_train_subset(pr, pi, wlo, chunk)
+        loc_arg = jnp.argmin(evars_l, axis=0)             # (nmodes,)
+        loc_val = jnp.min(evars_l, axis=0)
+        vals = lax.all_gather(loc_val, axis_name)         # (ndev, nmodes)
+        gidx = lax.all_gather(wlo + loc_arg, axis_name)   # (ndev, nmodes)
+        dev_best = jnp.argmin(vals, axis=0)               # (nmodes,)
+        best_w = gidx[dev_best, jnp.arange(nmodes)]
+        # the winning windows' taps: gather the (ndev, chunk, n, n, t)
+        # tap stack (tiny — taps, not signals) and index (device, offset)
+        wxs_all = lax.all_gather(wxs_l, axis_name)
+        wlo_of = jnp.minimum(jnp.arange(ndev) * chunk, W - chunk)
+        off = best_w - wlo_of[dev_best]
+        l_d = d % nmodes
+        acm2_d, delays2_d, foe_d = _align_heavy(
+            pr, pi, wxs_all[dev_best[l_d], off[l_d]], best_w[l_d], l_d, fdt)
+        acm2_g = lax.all_gather(acm2_d, axis_name)        # (ndev, 2, n)
+        delays2_g = lax.all_gather(delays2_d, axis_name)
+        foe_g = lax.all_gather(foe_d, axis_name)
+        # device l computed mode l's row (l_d == l for l < nmodes)
+        mode_order, shift, sync_corr, foe_coarse = _greedy_assign(
+            best_w, [acm2_g[l] for l in range(nmodes)],
+            [delays2_g[l] for l in range(nmodes)],
+            [foe_g[l] for l in range(nmodes)], fdt)
+        shift = shift[mode_order]
+        shift = jnp.where(shift < 0, shift + frame_len * os, shift)
+        eqsh = shift - tap_corr
+        eqsh = jnp.where(eqsh < 0, eqsh + frame_len * os, eqsh)
+        w_row = _train_mode_taps(pr, pi, eqsh[l_d], mode_order, l_d)
+        rows_g = lax.all_gather(w_row[0], axis_name)      # (ndev, n, t)
+        taps = rows_g[:nmodes]
+        return taps, shift, mode_order, sync_corr, foe_coarse
 
     def _demod(E2, eqsh, taps, fdt, _frame_base, shift, sync_corr,
                foe_coarse, foe_pil, mode_order, planes=None,
@@ -828,6 +947,14 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
     forward.tracking = forward_tracking
     forward.tracking_planes = forward_tracking_planes
     forward.planes = forward_planes
+    forward.prefix_sharded = prefix_sharded
+    # building blocks exposed for the prefix wall profiler
+    # (tools/prefixprof.py): single-chip walls of per-device-sized prefix
+    # work feed the sharded cold-start efficiency model
+    forward._prefix_parts = {
+        "sync_subset": _sync_train_subset, "align": _align_heavy,
+        "train_mode": _train_mode_taps, "W": W, "sw": sw, "step": step,
+        "tap_corr": tap_corr}
     forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),
                             "methods": tuple(methods),
                             "trainer": "block(xla, vmapped)"}

@@ -303,18 +303,28 @@ def fetch_global(x, mesh):
 
 
 def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,
-                          pilot_ins_rat, frames_per_device, **chain_kwargs):
+                          pilot_ins_rat, frames_per_device,
+                          shard_prefix=False, **chain_kwargs):
     """Frame-data-parallel pilot receiver over the mesh.
 
     The pilot receiver's natural multi-chip axis is FRAMES, not time:
     after one frame sync + pilot-sequence training, every frame of the
-    capture is demodulated independently with the shared taps. Here the
-    sync + two-stage training run replicated (identical on every device —
-    they cost ~half of one frame's demodulation) and each device then
-    demodulates its own ``frames_per_device`` contiguous frames; the only
-    cross-device dependency is the broadcast capture, so scaling
-    efficiency is bounded only by the replicated-prefix fraction
+    capture is demodulated independently with the shared taps. Each
+    device demodulates its own ``frames_per_device`` contiguous frames;
+    the only cross-device dependency is the broadcast capture, so scaling
+    efficiency is bounded only by the cold-start prefix fraction
     (Amdahl), not by per-sample communication.
+
+    ``shard_prefix=False`` runs the sync + two-stage training replicated
+    (identical on every device). ``shard_prefix=True`` DISTRIBUTES the
+    cold-start prefix too (ops/pilot_chain ``prefix_sharded``): the W
+    candidate-window sync trainings are split across devices (only tiny
+    min/index/tap arrays are all-gathered), and the per-mode alignment +
+    pilot trainings run on device groups — the per-device prefix cost
+    drops ~1/ndev for the search instead of staying constant, moving the
+    >=80% cold-start efficiency point to far fewer frames/device
+    (docs/PERFORMANCE.md scaling curve). Requires ndev >= nmodes and
+    foe_comp=False.
 
     Parity: the single-chip fused chain (ops/pilot_chain.py) which itself
     mirrors reference core/pilotbased_receiver.py:329-554 + :258-327; the
@@ -340,9 +350,14 @@ def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,
     def local(E):
         d = lax.axis_index(TIME)
         # shift this device's frame window to the capture start: frame f
-        # on device d is global frame d*k + f. The sync stage sees the
-        # same first frames on every device (identical results); only the
-        # demodulation offsets differ.
+        # on device d is global frame d*k + f. Only the demodulation
+        # offsets differ per device; the acquired state is identical.
+        if shard_prefix:
+            taps, shift, mode_order, sync_corr, _ = fwd.prefix_sharded(
+                E.real, E.imag, TIME, ndev)
+            data, _ = fwd.tracking(E, taps, shift, mode_order=mode_order,
+                                   _frame_base=d * k * frame_len * os_)
+            return data, shift, sync_corr[None]
         data, info = fwd(E, _frame_base=d * k * frame_len * os_)
         return data, info["shift"], info["sync_corr"][None]
 
@@ -378,6 +393,7 @@ def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,
 
     chain_fn.tracking = tracking
     chain_fn.backend_info = dict(fwd.backend_info, ndev=ndev,
-                                 frames_per_device=k)
+                                 frames_per_device=k,
+                                 shard_prefix=bool(shard_prefix))
     chain_fn.jitted = jitted
     return chain_fn

@@ -154,6 +154,45 @@ class TestFusedPilotChain:
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 1e-3), ser
 
+    def test_sharded_prefix_matches_replicated(self):
+        """shard_prefix=True distributes the cold-start prefix (window
+        search chunks per device, per-mode alignment + pilot trainings on
+        device groups, tiny all_gathers) — the acquired state and the
+        demodulated frames must match the replicated-prefix sharded chain
+        to float reduction-order ulps (same trainings, same selection
+        arithmetic, only the execution placement differs)."""
+        import jax
+        from qampy_tpu.parallel import make_mesh, sharded
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=10, nmodes=2,
+                                  fb=24e9, seed=7)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(11))
+        mesh = make_mesh(8)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3)
+        rep = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, frames_per_device=1, **kw)
+        shp = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, frames_per_device=1,
+            shard_prefix=True, **kw)
+        assert shp.backend_info["shard_prefix"]
+        E = jnp.asarray(s2.samples)
+        d0, sh0, c0 = rep(E)
+        d1, sh1, c1 = shp(E)
+        np.testing.assert_array_equal(np.asarray(sh1), np.asarray(sh0))
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   atol=1e-5)
+        out = sig.get_data().replace(samples=jnp.asarray(np.asarray(d1)))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 1e-3), ser
+
     def test_tracking_warm_start(self):
         """forward.tracking (taps/shift from a previous dispatch, sync and
         training skipped) must reproduce the full chain bit-exactly."""

@@ -187,9 +187,58 @@ def pilot_curve(reps=3):
     return rows, (Pf, Df)
 
 
+def prefix_curve():
+    """shard_prefix=True: per-device prefix cost must SHRINK with ndev.
+
+    Compares the compiled per-device FLOPs of the frame-parallel pilot RX
+    with the replicated prefix (ndev-invariant by construction) against
+    the sharded prefix (window-search chunk ~W/ndev per device + per-mode
+    alignment/trainings on device groups). The difference isolates the
+    prefix: demod frames/device are fixed at k=2. Also prints the
+    efficiency model with the r5 measured real-chip wall split
+    (docs/PERFORMANCE.md scaling section).
+    """
+    frame_len, seq, ins = 4096, 256, 64
+    k = 2
+    psig = qt.SignalWithPilots(16, frame_len, seq, ins,
+                               nframes=2 * max(NDEVS) + 2, nmodes=2,
+                               fb=24e9, seed=3)
+    ps2 = psig.resample(2 * psig.fb, beta=0.1, renormalise=True)
+    ps2 = impairments.simulate_transmission(ps2, snr=25,
+                                            roll_frame_sync=True,
+                                            key=jr.PRNGKey(4))
+    E_host = np.asarray(ps2.samples).astype(np.complex64)
+    print("\n== pilot RX, sharded vs replicated prefix (k=%d frames/dev) =="
+          % k)
+    print("%4s %16s %16s %10s %s"
+          % ("ndev", "flops/dev (rep)", "flops/dev (shard)", "ratio",
+             "shard collectives"))
+    for ndev in NDEVS:
+        if ndev < 2:
+            continue
+        mesh = make_mesh(ndev)
+        Erep = sharded.replicate_signal(E_host, mesh)
+        kw = dict(os=2, M=16, nmodes=2, Ntaps=17, Niter=10, cpe_avg=3)
+        rep = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(psig.pilot_seq), np.asarray(psig.ph_pilots),
+            psig.frame_len, psig.pilot_ins_rat, frames_per_device=k, **kw)
+        shp = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(psig.pilot_seq), np.asarray(psig.ph_pilots),
+            psig.frame_len, psig.pilot_ins_rat, frames_per_device=k,
+            shard_prefix=True, **kw)
+        c_rep = rep.jitted.lower(Erep).compile()
+        c_shp = shp.jitted.lower(Erep).compile()
+        fr = float(c_rep.cost_analysis()["flops"])
+        fs = float(c_shp.cost_analysis()["flops"])
+        print("%4d %16.0f %16.0f %9.3fx %s"
+              % (ndev, fr, fs, fs / fr, _collectives(c_shp)))
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("blind", "all"):
         blind_curve()
     if what in ("pilot", "all"):
         pilot_curve()
+    if what in ("prefix", "all"):
+        prefix_curve()
