@@ -291,7 +291,7 @@ def pilot_maketx(path, nframes=42):
     print("pilot tx ready: %s" % (E.shape,), file=sys.stderr, flush=True)
 
 
-def pilot_main(path, nframes_proc, gate_ber):
+def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms"):
     """Time the fused pilot RX chain on the real chip, BER-gated.
 
     One dispatch = frame sync + two-stage pilot equalisation + per-frame
@@ -315,11 +315,15 @@ def pilot_main(path, nframes_proc, gate_ber):
     ph = (d["ph_r"] + 1j * d["ph_i"]).astype(np.complex64)
     coded = (d["coded_r"] + 1j * d["coded_i"]).astype(np.complex64)
     frames = tuple(range(int(nframes_proc)))
+    # eq_trainer="ls": closed-form data-aided pilot equalisation (one Gram
+    # matmul + solve; ~0.15 ms vs ~1.1 ms LMS prefix term on chip,
+    # tools/prefixprof.py) — BER-gated below exactly like the LMS path
     fwd = make_pilot_rx_chain(seq, ph, F, R, os=2, M=M, nmodes=2,
                               sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
                               Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                               cpe_avg=3, frames=frames, block_size=256,
-                              return_phase=False, frames_unroll=4)
+                              return_phase=False, frames_unroll=4,
+                              eq_trainer=eq_trainer)
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
     nsym_payload = idx_tx.shape[-1] * idx_tx.shape[0]
@@ -613,8 +617,10 @@ if __name__ == "__main__":
         pilot_maketx(sys.argv[i0 + 1], nf)
     elif "--pilot-single" in sys.argv:
         i0 = sys.argv.index("--pilot-single")
+        tr = (sys.argv[i0 + 4] if len(sys.argv) > i0 + 4
+              and not sys.argv[i0 + 4].startswith("-") else "lms")
         pilot_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),
-                   float(sys.argv[i0 + 3]))
+                   float(sys.argv[i0 + 3]), eq_trainer=tr)
     elif "--pilot-tracking" in sys.argv:
         i0 = sys.argv.index("--pilot-tracking")
         pilot_tracking_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),

@@ -57,7 +57,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         methods=("cma", "cma"), foe_comp=False,
                         cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
                         block_size=128, pallas=None, frames_mode="scan",
-                        frames_unroll=1, return_phase=True, _stage=None):
+                        frames_unroll=1, return_phase=True,
+                        eq_trainer="lms", _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
     Parameters mirror the granular chain: ``pilot_seq`` (nmodes,
@@ -194,6 +195,47 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             E_seg, int(TrS), int(Niter_), os, float(mu_), w, syms, method,
             adaptive=True, block_size=S)
         return err, wx
+
+    assert eq_trainer in ("lms", "ls"), eq_trainer
+
+    def _ls_taps_mode(seg, ref):
+        """Closed-form data-aided pilot equalisation for one output mode.
+
+        The applied filter is a plain (conjugation-free) complex FIR
+        (``out[k] = sum_{p,t} w[p,t] seg[p, k*os+t]``,
+        ops/equaliser._apply_filter_windows), so the data-aided training
+        the reference solves with Niter*seq_len LMS iterations
+        (core/pilotbased_receiver.py:454-554) is an ORDINARY linear
+        least-squares problem: w* = argmin ||X w - ref||^2 with
+        X[k, (p,t)] = seg[p, k*os+t]. One Gram matmul (MXU-shaped,
+        TrS x nmodes*Ntaps) + a real-block 2PK x 2PK solve replaces
+        ~Niter*TrS/S dependent block steps — the pilot-training latency
+        floor of the cold-start prefix (tools/prefixprof.py measured
+        1.56 ms one-mode LMS at the bench config). Tikhonov-regularised
+        (lam ~ 1e-4 of the mean diagonal); phase/delay ambiguities are
+        resolved by the fit itself (no blind warm-up stage needed).
+        Opt-in via ``eq_trainer="ls"`` — BER-gate equivalence vs the LMS
+        path is pinned by tests and the TPU bench gate.
+        """
+        K = TrS_eq
+        idx = jnp.arange(K)[:, None] * os + jnp.arange(Ntaps)[None, :]
+        Xp = seg[:, idx]                        # (n, K, Ntaps) gather
+        X = Xp.swapaxes(0, 1).reshape(K, nmodes * Ntaps)
+        Xr, Xi = X.real, X.imag
+        dr_, di_ = ref[:K].real, ref[:K].imag
+        S = Xr.T @ Xr + Xi.T @ Xi               # Re(X^H X), symmetric
+        T_ = Xr.T @ Xi - Xi.T @ Xr              # Im(X^H X), antisymmetric
+        Pn = nmodes * Ntaps
+        lam = 1e-4 * jnp.trace(S) / Pn
+        S = S + lam * jnp.eye(Pn, dtype=S.dtype)
+        A = jnp.concatenate(
+            [jnp.concatenate([S, -T_], axis=1),
+             jnp.concatenate([T_, S], axis=1)], axis=0)
+        b = jnp.concatenate([Xr.T @ dr_ + Xi.T @ di_,
+                             Xr.T @ di_ - Xi.T @ dr_])
+        s = jnp.linalg.solve(A, b)
+        w = s[:Pn] + 1j * s[Pn:]
+        return w.reshape(1, nmodes, Ntaps).astype(seg.dtype)
 
     def _train_window(w_seg):
         """One sync-search candidate window: short CMA training, returns
@@ -337,6 +379,27 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
              + 1j * lax.dynamic_slice(pi, (0, eqsh[i]), (nmodes, seg_len))
              )[mode_order]
             for i in range(nmodes)])                  # (n, n, seg_len)
+        if eq_trainer == "ls":
+            assert not foe_comp, \
+                "eq_trainer='ls' supports foe_comp=False chains"
+            taps = jax.vmap(_ls_taps_mode)(segs, ref_seq)[:, 0]
+            if _stage == "eq":
+                return jnp.sum(jnp.abs(taps)), {}
+            foe_pil = jnp.zeros((), fdt)
+            if use_pallas and blocked_cpe and frames_mode in ("scan", "vmap"):
+                data, info = _demod(None, eqsh,
+                                    taps[:, jnp.argsort(mode_order)],
+                                    fdt, _frame_base, shift, sync_corr,
+                                    foe_coarse, foe_pil, mode_order,
+                                    planes=(pr, pi), _planes_out=_planes_out)
+                info["taps"] = taps
+                return data, info
+            assert not _planes_out, \
+                "planes output requires the Pallas fast path and " \
+                "scan/vmap frames_mode"
+            E2 = (pr + 1j * pi)[mode_order]
+            return _demod(E2, eqsh, taps, fdt, _frame_base, shift,
+                          sync_corr, foe_coarse, foe_pil, mode_order)
         # stage 1: blind warm-up on the pilot alphabet, all modes in one
         # vmapped training (reference :506-520 trains them sequentially)
         w0r = jnp.asarray(w0_eq)[:, None]             # (n, 1, n, Ntaps)
@@ -432,6 +495,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         seg = (lax.dynamic_slice(pr, (0, eqsh_i), (nmodes, seg_len))
                + 1j * lax.dynamic_slice(pi, (0, eqsh_i),
                                         (nmodes, seg_len)))[mode_order]
+        if eq_trainer == "ls":
+            return _ls_taps_mode(seg, jnp.asarray(pilot_seq)[i])
         w = jnp.asarray(w0_eq)[i][None]               # (1, nmodes, Ntaps)
         w = _train(seg, TrS_eq, Niter, mu[0], w, jnp.asarray(sym_st1),
                    methods[0])[1]
@@ -957,5 +1022,8 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
         "tap_corr": tap_corr}
     forward.backend_info = {"pallas": bool(use_pallas), "reasons": (),
                             "methods": tuple(methods),
-                            "trainer": "block(xla, vmapped)"}
+                            "trainer": ("ls(closed form)"
+                                        if eq_trainer == "ls"
+                                        else "block(xla, vmapped)"),
+                            "eq_trainer": eq_trainer}
     return forward

@@ -154,6 +154,70 @@ class TestFusedPilotChain:
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 1e-3), ser
 
+    def test_ls_trainer_recovers(self):
+        """eq_trainer='ls' (closed-form data-aided equalisation: one Gram
+        matmul + real-block solve instead of Niter*TrS/S LMS block steps)
+        must recover at least as well as the LMS path on the same
+        channel; measured CPU gate: SER exactly 0 where LMS reads
+        ~3e-4."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=6, nmodes=2,
+                                  fb=24e9, seed=3)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.7, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(5))
+        E = jnp.asarray(s2.samples)
+        fwd = make_pilot_rx_chain(
+            np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, os=2, M=64, nmodes=2,
+            Ntaps=17, Niter=30, cpe_avg=3, frames=(0, 1, 2),
+            eq_trainer="ls")
+        assert fwd.backend_info["eq_trainer"] == "ls"
+        data, info = jax.jit(fwd)(E)
+        out = sig.get_data(frames=[0, 1, 2]).replace(
+            samples=jnp.asarray(np.asarray(data)))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 1e-4), ser
+        # tracking round-trip: the LS taps feed the warm-start entry
+        data_trk, _ = fwd.tracking(E, info["taps"], info["shift"],
+                                   mode_order=info["mode_order"])
+        np.testing.assert_allclose(np.abs(np.asarray(data_trk)
+                                          - np.asarray(data)), 0,
+                                   atol=1e-5)
+
+    def test_sharded_prefix_ls(self):
+        """shard_prefix + eq_trainer='ls': the distributed cold-start with
+        the closed-form trainer matches its own replicated chain."""
+        import jax as _jax
+        from qampy_tpu.parallel import make_mesh, sharded
+        if len(_jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=10, nmodes=2,
+                                  fb=24e9, seed=7)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(11))
+        mesh = make_mesh(8)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3,
+                  eq_trainer="ls")
+        rep = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, frames_per_device=1, **kw)
+        shp = sharded.make_sharded_pilot_rx(
+            mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+            sig.frame_len, sig.pilot_ins_rat, frames_per_device=1,
+            shard_prefix=True, **kw)
+        E = jnp.asarray(s2.samples)
+        d0, _, _ = rep(E)
+        d1, _, _ = shp(E)
+        # vmapped vs per-mode LS solve: LU reduction-order float noise
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   atol=2e-4)
+        out = sig.get_data().replace(samples=jnp.asarray(np.asarray(d1)))
+        ser = np.asarray(out.cal_ser(synced=True))
+        assert np.all(ser < 1e-4), ser
+
     def test_sharded_prefix_matches_replicated(self):
         """shard_prefix=True distributes the cold-start prefix (window
         search chunks per device, per-mode alignment + pilot trainings on

@@ -162,6 +162,29 @@ def main():
             return jnp.sum(jnp.abs(w))
         return f
 
+    # LS (closed-form) pilot trainer probes: same chain geometry but
+    # eq_trainer="ls" — one Gram matmul + real-block solve per mode
+    fwd_ls = make_pilot_rx_chain(seq, ph, F, R, os=2, M=M, nmodes=2,
+                                 sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
+                                 Ntaps=45, mu=(1e-3, 1e-3), Niter=niter,
+                                 cpe_avg=3, block_size=bs, frames=(0,),
+                                 eq_trainer="ls")
+    parts_ls = fwd_ls._prefix_parts
+
+    def eq_ls(nm):
+        cols = 8 * step
+
+        def f(er, ei, scale):
+            e1, e2 = _sl(er, ei, scale, cols)
+            mo = jnp.arange(2)
+            if nm == 1:
+                w = parts_ls["train_mode"](e1, e2, jnp.int32(1000), mo, 0)
+                return jnp.sum(jnp.abs(w))
+            w = jax.vmap(lambda i: parts_ls["train_mode"](
+                e1, e2, jnp.int32(1000) + i, mo, i))(jnp.arange(2))
+            return jnp.sum(jnp.abs(w))
+        return f
+
     t_sync_full = timeit(sync_w(W), Er, Ei, "sync search, W=%d" % W)
     t_sync_chunk = timeit(sync_w(chunk), Er, Ei,
                           "sync search, chunk=%d" % chunk)
@@ -169,18 +192,23 @@ def main():
     t_align1 = timeit(align_n(1), Er, Ei, "alignment, one mode")
     t_eq2 = timeit(eq_vmapped(), Er, Ei, "pilot training, both (vmapped)")
     t_eq1 = timeit(eq_n(1), Er, Ei, "pilot training, one mode")
+    t_ls2 = timeit(eq_ls(2), Er, Ei, "LS pilot training, both (vmapped)")
+    t_ls1 = timeit(eq_ls(1), Er, Ei, "LS pilot training, one mode")
 
-    P1 = (t_sync_full + t_align2 + t_eq2) * 1e3
-    for t_coll_us in (2.0, 10.0, 25.0):
-        Psh = ((t_sync_chunk + t_align1 + t_eq1) * 1e3
-               + 6 * t_coll_us / 1e3)
-        print("\n-- t_coll=%.0f us: P1=%.3f ms, P_sh(%d)=%.3f ms --"
-              % (t_coll_us, P1, ndev, Psh))
-        for D in (0.080,):
-            print("e(n,k) with D=%.3f ms/frame:" % D)
-            for k in (10, 40, 80, 120):
-                e = (P1 + ndev * k * D) / (ndev * (Psh + k * D))
-                print("  e(%d,%3d) = %.3f" % (ndev, k, e))
+    for name, s1, a1, q2, q1 in (
+            ("lms", t_sync_full, t_align2, t_eq2, t_eq1),
+            ("ls", t_sync_full, t_align2, t_ls2, t_ls1)):
+        P1 = (s1 + a1 + q2) * 1e3
+        for t_coll_us in (2.0, 10.0, 25.0):
+            Psh = ((t_sync_chunk + t_align1 + q1) * 1e3
+                   + 6 * t_coll_us / 1e3)
+            print("\n-- %s trainer, t_coll=%.0f us: P1=%.3f ms, "
+                  "P_sh(%d)=%.3f ms --" % (name, t_coll_us, P1, ndev, Psh))
+            for D in (0.080,):
+                print("e(n,k) with D=%.3f ms/frame:" % D)
+                for k in (10, 40, 80, 120):
+                    e = (P1 + ndev * k * D) / (ndev * (Psh + k * D))
+                    print("  e(%d,%3d) = %.3f" % (ndev, k, e))
 
 
 if __name__ == "__main__":
