@@ -532,6 +532,11 @@ def _supervise():
     # longer training prefixes are the fallbacks. Each attempt runs in a
     # fresh subprocess because the tunnel is flaky.
     attempts = (
+        # decimated carrier recovery first (r5): whole-BPS on the filter's
+        # stride-8 side output + fused piecewise-linear interp-rotate —
+        # measured 1986.9 Msym/s at SER exactly 0 (vs 973 two-stage r4),
+        # held to the strict 1e-5 gate; the r4 modes are the fallbacks
+        (256, 2 ** 14, "decimated", 1e-5),
         (256, 2 ** 14, "twostage", 1e-5),
         (256, 2 ** 14, "single", 1e-4),
         (256, 2 ** 15, "single", 1e-4),
@@ -573,9 +578,13 @@ def _supervise():
         # overflowed the remote compile helper) and the Hamming-LUT BER
         # (the bitmap gather's 6->128 minor-dim padding cost 19 GB of HLO
         # temps at 160 frames). 160/80 remain as fallbacks.
-        for nfp, gate in ((240, 1e-5), (240, 1e-5), (160, 1e-5), (80, 1e-5)):  # retries, flaky tunnel
+        # LS (closed-form) trainer first — measured 1325 Msym/s BER 0 on
+        # the gate capture, and it is the cold-start-scaling config
+        # (docs/PERFORMANCE.md r5); LMS attempts are the fallback
+        for nfp, gate, tr in ((240, 1e-5, "ls"), (240, 1e-5, "lms"),
+                              (160, 1e-5, "lms"), (80, 1e-5, "lms")):
             proc = subprocess.run([sys.executable, __file__, "--pilot-single",
-                                   tx_path, str(nfp), repr(gate)],
+                                   tx_path, str(nfp), repr(gate), tr],
                                   capture_output=True, text=True, timeout=1800)
             line = ""
             for l in proc.stdout.strip().splitlines():

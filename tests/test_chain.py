@@ -46,6 +46,30 @@ class TestRxChain:
         out = fwd(np.asarray(s2).astype(np.complex64))
         assert _ser(out, 64) < 0.08
 
+    def test_decimated_mode(self):
+        """bps_mode='decimated' (whole-BPS on the stride-8 filter side
+        output + piecewise-linear interp-rotate) recovers like the
+        per-sample search; dec=16 variant too."""
+        sig, s2 = _tx(64, 2 ** 14, seed=5, snr=32, lw=20e3)
+        for mode in ("decimated", "decimated16"):
+            fwd = jax.jit(make_rx_chain(M=64, Ntaps=17, os=2, bps_angles=64,
+                                        bps_N=10, block_size=128,
+                                        bps_mode=mode, pallas=True,
+                                        bps_tile=2048))
+            out = fwd(np.asarray(s2).astype(np.complex64))
+            assert _ser(out, 64) < 0.08, mode
+
+    def test_decimated_falls_back_without_pallas(self):
+        sig, s2 = _tx(16, 2 ** 13, seed=6, snr=28)
+        fwd = jax.jit(make_rx_chain(M=16, Ntaps=11, os=2, bps_angles=32,
+                                    bps_N=10, block_size=64,
+                                    bps_mode="decimated", pallas=False))
+        # the warning fires at trace time (the stride check lives in the
+        # traced body where the filter group is resolved)
+        with pytest.warns(UserWarning, match="falling back"):
+            out = fwd(np.asarray(s2).astype(np.complex64))
+        assert _ser(out, 16) < 0.08
+
     def test_matches_granular_api(self):
         # the fused chain and the step-by-step public API converge to the
         # same constellation (not bit-identical: block vs chosen backends)

@@ -37,6 +37,23 @@ def warped_qam(M, k=0.18):
     return (w / np.sqrt(np.mean(np.abs(w) ** 2))).astype(np.complex64)
 
 
+def apsk_const(M=32):
+    """DVB-S2-style 32-APSK: rings of 4/12/16 points at radius ratios
+    1 : 2.84 : 5.27 (power-normalised). A RING alphabet fails the
+    fitted-uniform-grid coarse probe (ops/phase.coarse_grid_for_alphabet
+    returns None — verified), so the two-stage BPS keeps the EXACT O(M)
+    unrolled coarse: this is the bench row for the fallback band."""
+    assert M == 32
+    r = [1.0, 2.84, 5.27]
+    pts = []
+    for n, rad, off in ((4, r[0], np.pi / 4), (12, r[1], np.pi / 12),
+                        (16, r[2], 0.0)):
+        ang = 2 * np.pi * np.arange(n) / n + off
+        pts.append(rad * np.exp(1j * ang))
+    c = np.concatenate(pts)
+    return (c / np.sqrt(np.mean(np.abs(c) ** 2))).astype(np.complex64)
+
+
 def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
          gate_thr=1e-4, Nsym=2 ** 20, cpu=False, pallas=True, shape="warp",
          nu=0.5, bps_mode="single", timing=True, snr=35, mu=1.9e-3):
@@ -91,6 +108,16 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
         print("tx ready (MB-PS %d-QAM nu=%g H=%.3f bits, grid kind %r)"
               % (M, nu, H, kind), file=sys.stderr, flush=True)
         label = "MB-PS %d-QAM (H=%.2fb)" % (M, H)
+    elif shape == "apsk":
+        const_np = apsk_const(M)
+        kind = phops.grid_decision_info(phops.detect_grid(const_np))[0]
+        assert kind == "gen"
+        assert phops.coarse_grid_for_alphabet(const_np) is None, \
+            "APSK unexpectedly passed the fitted-grid probe"
+        E_np, syms_np, _ = make_tx(Nsym, const=const_np, snr=snr)
+        print("tx ready (%d-APSK, exact-coarse fallback)" % M,
+              file=sys.stderr, flush=True)
+        label = "%d-APSK (ring, exact O(M) coarse)" % M
     else:
         const_np = warped_qam(M)
         kind = phops.grid_decision_info(phops.detect_grid(const_np))[0]
@@ -215,6 +242,11 @@ def main(M=64, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
 if __name__ == "__main__":
     args = sys.argv[1:]
     M = int(args[0]) if args and args[0].isdigit() else 64
-    main(M=M, pallas="xla" not in args,
-         shape="ps" if "ps" in args else "warp",
+    shape = "warp"
+    if "ps" in args:
+        shape = "ps"
+    elif "apsk" in args:
+        shape = "apsk"
+        M = 32 if not (args and args[0].isdigit()) else M
+    main(M=M, pallas="xla" not in args, shape=shape,
          bps_mode="twostage" if "twostage" in args else "single")
