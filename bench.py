@@ -171,7 +171,10 @@ def main():
         block_size, trs, bps_mode, gate_thr = 256, 2 ** 15, "single", 1e-4
     bps_win = "f32" if bps_mode.endswith("-f32") else "bf16"
     bps_mode = bps_mode.replace("-f32", "")
-    fwd_c = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=14,
+    # decimated16: N*dec edge samples carry no full window; N=12 keeps
+    # 12*16=192 inside the gate's 200-sample trim (N=14 default elsewhere)
+    bps_N = 12 if bps_mode == "decimated16" else 14
+    fwd_c = _flagship_fn(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=bps_N,
                          block_size=block_size, TrSyms=trs or None,
                          bps_mode=bps_mode, bps_win=bps_win)
 
@@ -533,9 +536,11 @@ def _supervise():
     # fresh subprocess because the tunnel is flaky.
     attempts = (
         # decimated carrier recovery first (r5): whole-BPS on the filter's
-        # stride-8 side output + fused piecewise-linear interp-rotate —
-        # measured 1986.9 Msym/s at SER exactly 0 (vs 973 two-stage r4),
-        # held to the strict 1e-5 gate; the r4 modes are the fallbacks
+        # stride-K side output + fused piecewise-linear interp-rotate —
+        # measured 2451.0 Msym/s SER 4.8e-7 (K=16, N=12) and 1986.9-2039.1
+        # SER exactly 0 (K=8) vs 973 two-stage r4, each held to the strict
+        # 1e-5 gate; the r4 modes remain as fallbacks
+        (256, 2 ** 14, "decimated16", 1e-5),
         (256, 2 ** 14, "decimated", 1e-5),
         (256, 2 ** 14, "twostage", 1e-5),
         (256, 2 ** 14, "single", 1e-4),
