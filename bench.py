@@ -256,31 +256,51 @@ def main():
     print(json.dumps(result))
 
 
-def pilot_maketx(path, nframes=42):
+def pilot_maketx(path, nframes=42, M=64, shape="qam", snr=35):
     """Synthesise the pilot-chain TX capture on the CPU backend and save it
     as float32 planes + metadata (the TPU subprocess only sees the RX
     workload; complex arrays never cross the tunnel).
 
     Workload: reference test/sim_pilot_txrx.py / BASELINE config 4 —
-    SignalWithPilots(64, 2^16, 1024, 32) dual-pol at 24 GBd, RRC 2x,
-    100 kHz-class phase noise, PMD, 35 dB SNR.
+    SignalWithPilots(M, 2^16, 1024, 32) dual-pol at 24 GBd, RRC 2x,
+    100 kHz-class phase noise, PMD. ``M`` defaults to the flagship 64;
+    the reference's own sim_pilot_txrx default is M=128 (:6).
+    ``shape="warp"`` replaces the payload with a radially WARPED
+    (non-grid) M-point alphabet via SymbolOnlySignal (no gray bit table —
+    the bench gates on SER instead of BER for that capture).
     """
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.random as jr
     import qampy_tpu as qt
-    M, F, P, R, NF = 64, 2 ** 16, 1024, 32, int(nframes)
-    sig = qt.SignalWithPilots(M, F, P, R, nframes=NF, nmodes=2, fb=24e9, seed=3)
+    M, F, P, R, NF = int(M), 2 ** 16, 1024, 32, int(nframes)
+    if shape == "warp":
+        sys.path.insert(0, "tools")
+        from genbench import warped_qam
+        coded = warped_qam(M)
+        rng = np.random.default_rng(3)
+        # one frame's worth of payload: SignalWithPilots.from_symbol_array
+        # TILES the frame nframes times (reference signals.py:1598)
+        npl = (F - P) * (R - 1) // R
+        pay = coded[rng.integers(0, M, size=(2, npl))]
+        pays = qt.SymbolOnlySignal.from_symbol_array(
+            pay, coded_symbols=coded, fb=24e9)
+        sig = qt.SignalWithPilots.from_symbol_array(pays, F, P, R,
+                                                    nframes=NF)
+        bits_tbl = np.zeros((0, 0), np.uint8)
+    else:
+        sig = qt.SignalWithPilots(M, F, P, R, nframes=NF, nmodes=2,
+                                  fb=24e9, seed=3)
+        bits_tbl = np.asarray(sig._symbols_obj._encoding).astype(np.uint8)
     s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
     s2 = qt.impairments.simulate_transmission(
-        s2, snr=35, lwdth=20e3, dgd=20e-12, theta=np.pi / 4.3,
+        s2, snr=snr, lwdth=20e3, dgd=20e-12, theta=np.pi / 4.3,
         roll_frame_sync=True, key=jr.PRNGKey(5))
     E = np.asarray(s2.samples).astype(np.complex64)
     coded = np.asarray(sig.coded_symbols).astype(np.complex64)
     pay = np.asarray(sig.get_data(frames=[0]).samples).astype(np.complex64)
     idx_tx = np.argmin(np.abs(pay[:, :, None] - coded[None, None, :]),
                        axis=-1).astype(np.int32)
-    bits_tbl = np.asarray(sig._symbols_obj._encoding).astype(np.uint8)
     np.savez(path,
              Er=np.ascontiguousarray(E.real), Ei=np.ascontiguousarray(E.imag),
              seq_r=np.asarray(sig.pilot_seq).real.astype(np.float32),
@@ -329,6 +349,7 @@ def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms"):
                               eq_trainer=eq_trainer)
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
+    have_bits = bits_h.size > 0   # gen-alphabet captures carry no gray
     nsym_payload = idx_tx.shape[-1] * idx_tx.shape[0]
 
     def fetch(x, what="value"):
@@ -354,18 +375,22 @@ def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms"):
     # minor dim pads 6 -> 128 on TPU — 19 GB of padded HLO temps at 160
     # frames (OOM), ~14 GB at 120.
     it_d = jax.device_put(idx_tx)
-    Mc = bits_h.shape[0]
-    nb = bits_h.shape[1]
-    ham_h = (bits_h[:, None, :] != bits_h[None, :, :]).sum(-1).astype(
-        np.float32).reshape(-1)
+    if have_bits:
+        Mc = bits_h.shape[0]
+        nb = bits_h.shape[1]
+        ham_h = (bits_h[:, None, :] != bits_h[None, :, :]).sum(-1).astype(
+            np.float32).reshape(-1)
 
     @jax.jit
     def gate(er, ei, it):
         (dr, di), info = fwd.planes(er, ei)
         idx_rx = decision_idx(dr + 1j * di, coded)
-        ham = jnp.asarray(ham_h)
-        ber = jnp.mean(ham[idx_rx * Mc + it]) / nb
         ser = jnp.mean((idx_rx != it).astype(jnp.float32))
+        if have_bits:
+            ham = jnp.asarray(ham_h)
+            ber = jnp.mean(ham[idx_rx * Mc + it]) / nb
+        else:
+            ber = ser   # gen alphabets: no gray table, gate on SER
         return ber, ser, info["sync_corr"]
 
     print("compiling pilot chain (frames=%d)..." % len(frames),
@@ -627,8 +652,12 @@ if __name__ == "__main__":
         main()
     elif "--pilot-maketx" in sys.argv:
         i0 = sys.argv.index("--pilot-maketx")
-        nf = int(sys.argv[i0 + 2]) if len(sys.argv) > i0 + 2 else 42
-        pilot_maketx(sys.argv[i0 + 1], nf)
+        a = sys.argv[i0 + 2:]
+        nf = int(a[0]) if len(a) > 0 else 42
+        Mx = int(a[1]) if len(a) > 1 else 64
+        shp = a[2] if len(a) > 2 else "qam"
+        snr_ = float(a[3]) if len(a) > 3 else 35
+        pilot_maketx(sys.argv[i0 + 1], nf, M=Mx, shape=shp, snr=snr_)
     elif "--pilot-single" in sys.argv:
         i0 = sys.argv.index("--pilot-single")
         tr = (sys.argv[i0 + 4] if len(sys.argv) > i0 + 4

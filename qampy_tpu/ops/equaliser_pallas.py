@@ -48,11 +48,15 @@ def _mcma_err(zr, zi, sr_row, si_row, ncode):
 
 def _rde_err(zr, zi, sr_row, si_row, ncode):
     # sr_row holds [codes, partitions] (reference layout, real parts);
-    # index the codebook by counting partitions below the squared radius
+    # codebook WALK with static indices (same form as _block_err_rde):
+    # a computed-index read (sr_row[idx]) lowers to dynamic_slice, which
+    # Mosaic does not implement for TPU kernels (found compiled-only by
+    # tools/tpu_kernelcheck.py — interpret mode accepts the gather)
     sq = zr * zr + zi * zi
-    parts = sr_row[ncode:]
-    idx = jnp.sum((sq > parts).astype(jnp.int32))
-    r = sr_row[idx]
+    r = sr_row[0] + jnp.zeros_like(sq)
+    for k in range(ncode - 1):
+        r = r + jnp.where(sq > sr_row[ncode + k],
+                          sr_row[k + 1] - sr_row[k], 0.)
     d = r - sq
     return d * zr, d * zi
 
@@ -87,6 +91,10 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
     Niter = int(Niter)
     os = int(os)
     adaptive = bool(adaptive)
+    # pre-gather the training windows once in XLA (see the kernel note)
+    widx = jnp.arange(TrSyms)[:, None] * os + jnp.arange(ntaps)[None, :]
+    winr = jnp.moveaxis(E.real.astype(rdtype)[:, widx], 1, 0)
+    wini = jnp.moveaxis(E.imag.astype(rdtype)[:, widx], 1, 0)
 
     def kernel(er_ref, ei_ref, sr_ref, si_ref, mu_ref, wr0_ref, wi0_ref,
                wr_out, wi_out, mu_out):
@@ -97,8 +105,16 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
 
         def step(i, ep):
             tr = i % TrSyms
-            xr = er_ref[:, pl.ds(tr * os, ntaps)]  # (nmodes, ntaps)
-            xi = ei_ref[:, pl.ds(tr * os, ntaps)]
+            # windows are PRE-GATHERED to (TrSyms, nmodes, ntaps): the
+            # per-step read dynamic-indexes the OUTERMOST dim, which
+            # Mosaic allows for any index — a dynamic lane-dim slice
+            # (er_ref[:, pl.ds(tr*os, ntaps)]) compiles only when the
+            # start is provably 128-aligned (found by
+            # tools/tpu_kernelcheck.py: interpret mode accepts it, the
+            # real chip rejects "cannot statically prove that index in
+            # dimension 1 is a multiple of 128")
+            xr = er_ref[tr]                       # (nmodes, ntaps)
+            xi = ei_ref[tr]
             errs = []
             for m in range(nout):  # static unroll over output modes
                 wr = wr_out[m]
@@ -140,7 +156,7 @@ def train_equaliser_pallas(E, TrSyms, Niter, os, mu, wx, symbols, method,
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=interpret,
-    )(E.real.astype(rdtype), E.imag.astype(rdtype),
+    )(winr, wini,
       symbols.real.astype(rdtype), symbols.imag.astype(rdtype), mu0,
       wx.real.astype(rdtype), wx.imag.astype(rdtype))
     wout = (wr + 1j * wi).astype(E.dtype)

@@ -32,6 +32,15 @@ from qampy_tpu.theory import cal_symbols_qam, cal_scaling_factor_qam  # noqa: E4
 
 RESULTS = []
 
+# Compiled-mode tolerance bands. The CI interpret suite pins 1e-4 tap /
+# 1e-4 filter exactness; COMPILED on v5e both engines emulate f32
+# matmuls with different bf16-pass depths (XLA Precision.HIGH vs Mosaic
+# f32 dots), so trainer taps land within ~1e-2 and the filter within
+# ~8e-3 on O(1) signals (measured r5). The bands below catch LOGIC bugs
+# (a misplaced tile/carry is O(1)) while tolerating engine rounding.
+BLK_TOL = 2e-2
+FILT_TOL = 3e-2
+
 
 def record(name, ok, **metrics):
     row = dict(case=name, ok=bool(ok),
@@ -164,7 +173,7 @@ def run_trainers(rng):
             return (jnp.max(jnp.abs(w_b - w_p)),
                     jnp.max(jnp.abs(mu_b - mu_p)))
         dw, dm = [fetch(x) for x in f(er, ei)]
-        record(name, dw < 1e-4 and dm < 1e-6, max_tap_diff=dw,
+        record(name, dw < BLK_TOL and dm < 1e-5, max_tap_diff=dw,
                max_mu_diff=dm)
 
     # gen (warped) alphabet decision methods
@@ -184,7 +193,7 @@ def run_trainers(rng):
             return (jnp.max(jnp.abs(w_b - w_p)),
                     jnp.max(jnp.abs(mu_b - mu_p)))
         dw, dm = [fetch(x) for x in f(er, ei)]
-        record("blk_gen_%s" % method, dw < 1e-4 and dm < 1e-6,
+        record("blk_gen_%s" % method, dw < BLK_TOL and dm < 1e-5,
                max_tap_diff=dw, max_mu_diff=dm)
 
 
@@ -210,7 +219,7 @@ def run_filter(rng):
         er, ei = dev_planes(E)
         d = fetch(f(er, ei))
         record("filter_L%d_t%d_os%d_n%d_Ct%d" % (L, ntaps, os_, nmodes, Ct),
-               d < 1e-4, max_abs_diff=d)
+               d < FILT_TOL, max_abs_diff=d)
 
 
 def _xla_derotate(Ed, ph):
@@ -252,15 +261,15 @@ def run_derotate(rng):
         ph[0, at:] = -np.pi / 4 + 0.01
 
         @jax.jit
-        def f(er, ei, phd):
+        def f(er, ei, phd, _at=at):
             Ed = er + 1j * ei
             ref = _xla_derotate(Ed, phd)
             got = unwrap_derotate_pallas(Ed, phd, T=1024)
             ang_ok = jnp.max(jnp.abs(
-                jnp.angle(got[0, at:]) - (np.pi / 4 + 0.01)))
+                jnp.angle(got[0, _at:]) - (np.pi / 4 + 0.01)))
             return jnp.max(jnp.abs(got - ref)), ang_ok
         er, ei = dev_planes(E)
-        d, ang = [fetch(x) for x in f(er, ei)]
+        d, ang = [fetch(x) for x in f(er, ei, jax.device_put(ph))]
         record("derot_carry_at%d" % at, d < 1e-5 and ang < 1e-4,
                max_abs_diff=d, max_angle_err=ang)
 
