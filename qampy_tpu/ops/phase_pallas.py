@@ -666,8 +666,16 @@ def _interp_rotate_kernel(R, Tc, dx, sign):
         # per-block coefficients with one tiny MXU matmul each (a gather-
         # free lane expansion; reshape tricks across lanes are not
         # available in Mosaic)
-        a_exp = jnp.dot(a, S, preferred_element_type=jnp.float32)
-        b_exp = jnp.dot(b, S, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the default Mosaic f32 dot quantises the
+        # COEFFICIENTS through single-pass bf16 (measured 0.024 output
+        # error on O(1)-radian phases by tools/tpu_kernelcheck.py) —
+        # harmless for the pilot CPE's small residual phases but not for
+        # the decimated blind path, whose UNWRAPPED phase grows to
+        # several radians over a long capture
+        a_exp = jnp.dot(a, S, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        b_exp = jnp.dot(b, S, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         lane = lax.broadcasted_iota(jnp.int32, (R, Tc), 1)
         frac = (lane % dx).astype(jnp.float32)
         ph = a_exp + b_exp * frac
