@@ -81,20 +81,36 @@ def _affine_prefix_states(M, bs):
     """All states of ``s[k] = M @ s[k-1] + bs[k]`` (``s[-1] = 0``) via
     ``lax.associative_scan`` — the affine maps ``x -> M x + b`` compose
     associatively (``(A2, b2) o (A1, b1) = (A2 A1, A2 b1 + b2)``), so the
-    O(N) sequential IIR recurrence becomes O(log N) parallel passes of
-    tiny batched (n, n) matmuls. Exact in exact arithmetic (no
-    truncation); ``M`` is the static (n, n) transition matrix and ``bs``
-    the (N, n, modes) per-step offsets. Returns (N, n, modes) states."""
-    N = bs.shape[0]
-    A0 = jnp.broadcast_to(M.astype(bs.dtype), (N,) + M.shape)
+    O(N) sequential IIR recurrence becomes O(log N) parallel passes.
+    Exact in exact arithmetic (no truncation); ``M`` is the static
+    (n, n) transition matrix and ``bs`` the (N, n, modes) per-step
+    offsets. Returns (N, n, modes) states.
 
-    def comb(a, b):
-        A1, b1 = a
-        A2, b2 = b
-        return jnp.matmul(A2, A1), jnp.einsum('nij,njm->nim', A2, b1) + b2
+    Layout: the n x n transition products are carried as n^2 SEPARATE
+    (N,) planes with the combine unrolled to scalar arithmetic — a
+    batched (N, n, n) matmul carry pads each tiny matrix into full
+    (8, 128) registers on TPU (the minor-dim poison of
+    docs/PERFORMANCE.md lesson 10; measured 1751 ms at 2^20 samples vs
+    ~ms-scale for the plane form)."""
+    N, n, modes = bs.shape
+    dt = bs.dtype
+    A0 = tuple(jnp.full((N,), M[i, j], dtype=dt)
+               for i in range(n) for j in range(n))
+    b0 = tuple(bs[:, i, :] for i in range(n))            # each (N, modes)
 
-    _, S = jax.lax.associative_scan(comb, (A0, bs))
-    return S
+    def comb(x, y):
+        A1, b1 = x
+        A2, b2 = y
+        A = tuple(
+            sum(A2[i * n + k] * A1[k * n + j] for k in range(n))
+            for i in range(n) for j in range(n))
+        b = tuple(
+            sum(A2[i * n + k][:, None] * b1[k] for k in range(n)) + b2[i]
+            for i in range(n))
+        return A, b
+
+    _, S = jax.lax.associative_scan(comb, (A0, b0))
+    return jnp.stack(S, axis=1)
 
 
 def _sosfilt_assoc(sos, x):

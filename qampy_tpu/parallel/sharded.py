@@ -126,6 +126,64 @@ def _bps_local(E_loc, angles, symbols, N, grid=None, pallas=False,
     return E_loc * jnp.exp(1.j * ph).astype(E_loc.dtype), ph
 
 
+def _bps_local_decimated(E_loc, os, wxy, angles_host, grid, N, dec,
+                         bps_tile, win_dtype="auto"):
+    """Per-shard DECIMATED carrier recovery (the r5 single-chip headline
+    mode, ops/chain bps_mode='decimated'): filter the local shard with a
+    right halo AND the stride-``dec`` side output, run the full-window
+    BPS on the decimated samples with ``N``-sample halos (ppermute in
+    the decimated domain — N*dec full-rate samples of context), unwrap
+    the decimated phase exactly across shards, fetch a one-block right
+    halo of the unwrapped phase for the interpolation slope, and
+    derotate the full-rate shard through the fused piecewise-linear
+    interp-rotate kernel. Per-shard cost matches the single-chip mode;
+    the only additions are two tiny ppermutes and the cross-shard unwrap
+    all_gather."""
+    import jax.numpy as jnp
+    from qampy_tpu.ops.equaliser_pallas import apply_filter_pallas_planes
+    from qampy_tpu.ops.phase_pallas import (bps_idx_pallas,
+                                            interp_rotate_planes_pallas)
+    from qampy_tpu.ops.phase import grid_decision_info
+    ntaps = wxy.shape[-1]
+    Ee = _halo_from_right(E_loc, ntaps - 1 + os)
+    P = jnp.concatenate([Ee.real, Ee.imag], axis=0).astype(jnp.float32)
+    out_f = apply_filter_pallas_planes(P, os, wxy, dec_stride=dec)
+    Pout, Pdec = out_f
+    no = Pout.shape[0] // 2
+    Lout = E_loc.shape[-1] // os
+    assert Lout % dec == 0, \
+        "per-shard symbol count must divide the decimation stride"
+    Ld = Lout // dec
+    eqp = (Pout[:no, :Lout], Pout[no:, :Lout])
+    decp = (Pdec[:no, :Ld], Pdec[no:, :Ld])
+    # N-sample halos in the DECIMATED domain (= N*dec full-rate context)
+    dr = _halo_from_left(_halo_from_right(decp[0], N), N)
+    di = _halo_from_left(_halo_from_right(decp[1], N), N)
+    if win_dtype == "auto":
+        win_dtype = (None if grid_decision_info(grid)[0] == "gen"
+                     else jnp.bfloat16)
+    idxd = bps_idx_pallas(None, angles_host, grid, N,
+                          T=min(bps_tile, 8192), win_dtype=win_dtype,
+                          planes=(dr, di))
+    A = angles_host.size
+    step = float(np.pi / 2 / A)
+    lo = float(angles_host[0])
+    phd = lo + step * idxd[:, N:-N].astype(jnp.float32)     # (no, Ld)
+    # exact cross-shard pi/2 unwrap on the decimated phase
+    phu = _unwrap_across_shards(phd * 4) / 4
+    # slope: the next decimated phase — last block needs the LEFT edge of
+    # the right neighbour (circular; the global tail block's slope wraps,
+    # harmless for the O(dec) last samples of the capture)
+    ndev = lax.axis_size(TIME)
+    perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+    nxt = lax.ppermute(phu[:, :1], TIME, perm)              # (no, 1)
+    b_blk = (jnp.concatenate([phu[:, 1:], nxt], axis=-1) - phu) / dec
+    outr, outi = interp_rotate_planes_pallas(
+        eqp[0], eqp[1], phu, b_blk, dx=dec, sign=1,
+        T=min(bps_tile, 16384))
+    return outr + 1j * outi, phu
+
+
 def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
                     adaptive, rounds, block_size, pallas=False,
                     symbols_host=None):
@@ -162,7 +220,7 @@ def _train_parallel(E_loc, os, mu, w0, symbols, method, Niter, TrSyms_loc,
 def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
                           TrSyms_loc=None, Niter=1, bps_angles=32, bps_N=16,
                           rounds=2, block_size=64, adaptive=True, pallas=None,
-                          bps_tile=2048, symbols=None):
+                          bps_tile=2048, symbols=None, bps_mode="single"):
     """Build the jitted multi-chip flagship RX chain.
 
     Input: (nmodes, L) waveform sharded over time; runs two-stage
@@ -231,11 +289,19 @@ def make_sharded_rx_chain(mesh, os, mu1, mu2, M, Ntaps, methods=("cma", "rde"),
         w2 = _train_parallel(E_loc, os, mu2, w1, jnp.asarray(symbols2), methods[1],
                              Niter, trs, adaptive, rounds, block_size,
                              pallas=use_pallas, symbols_host=symbols2)
-        Eeq = _apply_filter_local(E_loc, os, w2, pallas=use_pallas)
-        angles = jnp.asarray(angles_host).reshape(1, -1)
-        Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N, grid=grid,
-                              pallas=use_pallas, angles_host=angles_host,
-                              bps_tile=bps_tile)
+        if use_pallas and bps_mode.startswith("decimated"):
+            # r5 headline carrier recovery, per shard (see
+            # _bps_local_decimated); filter + decimation fused
+            dec = int(bps_mode[len("decimated"):] or 8)
+            Eout, ph = _bps_local_decimated(
+                E_loc, os, w2, angles_host, grid, bps_N, dec, bps_tile)
+        else:
+            Eeq = _apply_filter_local(E_loc, os, w2, pallas=use_pallas)
+            angles = jnp.asarray(angles_host).reshape(1, -1)
+            Eout, ph = _bps_local(Eeq, angles, jnp.asarray(const), bps_N,
+                                  grid=grid, pallas=use_pallas,
+                                  angles_host=angles_host,
+                                  bps_tile=bps_tile)
         # psum-reduced EVM against decisions
         from qampy_tpu.core.metrics import decision_idx
         det = jnp.asarray(const)[decision_idx(Eout, jnp.asarray(const))]

@@ -100,6 +100,30 @@ class TestShardedChain:
         assert np.all(ser_sh < ser_ref.max() + 5e-4)
 
 
+class TestShardedDecimated:
+    def test_decimated_bps_mode(self, mesh):
+        """bps_mode='decimated' per shard (the r5 single-chip headline
+        carrier recovery): decimated-domain halos, exact cross-shard
+        unwrap of the decimated phase, slope halo, fused interp-rotate.
+        SER-gated like the flagship sharded chain."""
+        fb = 25e9
+        sig = qt.SignalQAMGrayCoded(64, 2048 * 8, nmodes=2, fb=fb, seed=11)
+        up = sig.resample(2 * fb, beta=0.1)
+        s = impairments.apply_phase_noise(up, 20e3, key=jr.PRNGKey(1))
+        s = impairments.change_snr(s, 35, key=jr.PRNGKey(10))
+        E = sharded.shard_signal(np.asarray(s).astype(np.complex64), mesh)
+        chain = sharded.make_sharded_rx_chain(
+            mesh, os=2, mu1=1.9e-3, mu2=1.9e-3, M=64, Ntaps=17,
+            methods=("mcma", "mddma"), rounds=3, Niter=2, bps_angles=32,
+            bps_N=14, block_size=128, bps_tile=2048, pallas=True,
+            bps_mode="decimated")
+        Eout, ph, evm = chain(E)
+        # decimated phase trace: one value per dec=8 output symbols
+        assert np.asarray(ph).shape[-1] == 2048 * 8 // 8
+        ser = np.asarray(sig.replace(samples=np.asarray(Eout)).cal_ser())
+        assert np.all(ser < 1e-3), ser
+
+
 class TestShardedPallas:
     def test_pallas_kernels_per_shard(self, mesh):
         """The sharded chain with the fused Pallas kernels (interpret mode on

@@ -255,12 +255,15 @@ def main():
         sos = scisig.bessel(4, 0.2, 'low', norm='mag', output='sos', fs=2)
 
         def f_scan(E):
-            return jnp.mean(jnp.abs(cfilter._sosfilt_scan(sos, E.real)))
+            # O(N) dependent steps: at 2^20 the scan runs for MINUTES on
+            # TPU — time 2^17 and scale (the per-step cost is constant)
+            return jnp.mean(jnp.abs(cfilter._sosfilt_scan(
+                sos, E.real[:, :2 ** 17])))
 
         def f_assoc(E):
             return jnp.mean(jnp.abs(cfilter._sosfilt_assoc(sos, E.real)))
         timeit(f_assoc, Er, Ei, "sosfilt assoc-prefix 2^20")
-        timeit(f_scan, Er, Ei, "sosfilt lax.scan 2^20")
+        timeit(f_scan, Er, Ei, "sosfilt lax.scan 2^17 (x8 for 2^20)")
     elif op == "filter":
         def f(E):
             w = jnp.asarray(w_h)
