@@ -38,6 +38,18 @@ out = fwd(jnp.asarray(s2.samples))
 rec = sig.replace(samples=out[:, 200:-200])
 print("blind chain SER:", np.asarray(rec.cal_ser()))
 
+# r5 headline carrier recovery: the WHOLE phase search runs on the
+# filter's stride-8 side output and the derotation interpolates — no
+# per-sample phase-search work (1987-2451 Msym/s on one v5e chip at the
+# strict gates; docs/PERFORMANCE.md)
+fwd_dec = jax.jit(make_rx_chain(M=64, Ntaps=17, os=2, bps_angles=64,
+                                bps_N=10, block_size=128, TrSyms=2 ** 13,
+                                bps_mode="decimated", pallas=True,
+                                bps_tile=2048))
+out_dec = fwd_dec(jnp.asarray(s2.samples))
+rec_dec = sig.replace(samples=out_dec[:, 200:-200])
+print("decimated-BPS chain SER:", np.asarray(rec_dec.cal_ser()))
+
 # ---- pilot chain: full SignalWithPilots receiver, 3 frames ------------
 psig = qt.SignalWithPilots(64, 2 ** 14, 512, 32, nframes=5, nmodes=2,
                            fb=24e9, seed=7)
@@ -76,3 +88,17 @@ track_p = jax.jit(pfwd.__wrapped__.tracking_planes)
                       info["taps"], info["shift"], info["mode_order"])
 print("planes tracking identical:",
       bool(jnp.all((dr + 1j * di) == data)))
+
+# r5 closed-form pilot training: eq_trainer="ls" replaces the iterative
+# LMS trainings with one Gram matmul + solve per mode — better SER and a
+# 20x cheaper cold-start prefix (the config the mesh-sharded receiver's
+# shard_prefix=True path uses; docs/PERFORMANCE.md r5)
+pfwd_ls = jax.jit(make_pilot_rx_chain(
+    np.asarray(psig.pilot_seq), np.asarray(psig.ph_pilots),
+    psig.frame_len, psig.pilot_ins_rat, os=2, M=64, nmodes=2,
+    Ntaps=17, Niter=30, cpe_avg=3, frames=(0, 1, 2),
+    return_phase=False, pallas=True, eq_trainer="ls"))
+data_ls, info_ls = pfwd_ls(jnp.asarray(p2.samples))
+pout_ls = psig.get_data(frames=[0, 1, 2]).replace(samples=data_ls)
+print("pilot chain (LS trainer) BER:",
+      np.asarray(pout_ls.cal_ber(synced=True)))
