@@ -274,7 +274,31 @@ def pilot_maketx(path, nframes=42, M=64, shape="qam", snr=35):
     import jax.random as jr
     import qampy_tpu as qt
     M, F, P, R, NF = int(M), 2 ** 16, 1024, 32, int(nframes)
-    if shape == "warp":
+    if shape == "ps":
+        # Maxwell-Boltzmann HEAVY shaping (nu=1.5, H=5.56 bits): beyond
+        # the blind chain's lock range (docs/PERFORMANCE.md) — the pilot
+        # chain's data-aided training + alphabet-free payload path serve
+        # it, matching the reference's PS workflow (pilot_based centering
+        # notebook). SER-gated (shaped symbols keep the gray table but a
+        # BER gate over non-uniform draws mirrors the SER anyway).
+        from qampy_tpu import theory as _th
+        base = np.asarray(_th.cal_symbols_qam(M)) / np.sqrt(
+            float(_th.cal_scaling_factor_qam(M)))
+        lv, pl_ = _th.cal_ps_probablts(base, 1.5)
+        probs = (pl_[np.searchsorted(lv, base.real)]
+                 * pl_[np.searchsorted(lv, base.imag)])
+        probs = probs / probs.sum()
+        coded = (base / np.sqrt(np.sum(probs * np.abs(base) ** 2))
+                 ).astype(np.complex64)
+        rng = np.random.default_rng(3)
+        npl = (F - P) * (R - 1) // R
+        pay = coded[rng.choice(M, size=(2, npl), p=probs)]
+        pays = qt.SymbolOnlySignal.from_symbol_array(
+            pay, coded_symbols=coded, fb=24e9)
+        sig = qt.SignalWithPilots.from_symbol_array(pays, F, P, R,
+                                                    nframes=NF)
+        bits_tbl = np.zeros((0, 0), np.uint8)
+    elif shape == "warp":
         sys.path.insert(0, "tools")
         from genbench import warped_qam
         coded = warped_qam(M)
