@@ -248,5 +248,9 @@ if __name__ == "__main__":
     elif "apsk" in args:
         shape = "apsk"
         M = 32 if not (args and args[0].isdigit()) else M
-    main(M=M, pallas="xla" not in args, shape=shape,
-         bps_mode="twostage" if "twostage" in args else "single")
+    mode = "single"
+    if "twostage" in args:
+        mode = "twostage"
+    elif "decimated" in args:
+        mode = "decimated"
+    main(M=M, pallas="xla" not in args, shape=shape, bps_mode=mode)
