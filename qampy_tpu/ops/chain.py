@@ -151,9 +151,14 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
     gen_grid_coarse = None
     gen_grid_fine = grid
     if (phops.grid_decision_info(grid)[0] == "gen"
-            and bps_mode.startswith("twostage")
+            and (bps_mode.startswith("twostage")
+                 or bps_mode.startswith("decimated"))
             and np.asarray(const).shape[0] > 24):
-        _div0 = 2 if bps_mode.endswith("32") else 4
+        # decimated mode runs ONE full search — probe the fitted grid at
+        # the full angle count (the "fine" role); twostage probes at the
+        # coarse count
+        _div0 = (1 if bps_mode.startswith("decimated")
+                 else (2 if bps_mode.endswith("32") else 4))
         _A0 = max(bps_angles // _div0, 16)
         gen_grid_coarse = phops.coarse_grid_for_alphabet(const,
                                                          Mtestangles=_A0)
@@ -300,7 +305,8 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
                             else (eqp[0] + 1j * eqp[1]).astype(E.dtype), ph)
             return (out.real, out.imag) if planes_out else out
 
-        if pallas and dec is not None and bps_mode.startswith("decimated"):
+        if ((pallas or pallas_gen) and dec is not None
+                and bps_mode.startswith("decimated")):
             # FULLY decimated carrier recovery (the >2x lever named by the
             # r4 roofline, docs/PERFORMANCE.md): the carrier phase is
             # grossly oversampled at the symbol rate, so the WHOLE blind
@@ -318,7 +324,11 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             # end): that mode kept the full-rate per-sample FINE stage.
             from qampy_tpu.ops.phase_pallas import (
                 bps_idx_pallas, interp_rotate_planes_pallas)
-            idxd = bps_idx_pallas(None, angles_h, grid, bps_N,
+            # gen alphabets: the FITTED uniform-grid decision replaces the
+            # O(M) unroll when the dense-argmin probe holds (same lever as
+            # the twostage fine stage; gen_grid_fine == grid otherwise and
+            # for analytic grids)
+            idxd = bps_idx_pallas(None, angles_h, gen_grid_fine, bps_N,
                                   T=min(bps_tile, 8192), win_dtype=win_dtype,
                                   compute_dtype=bps_cd, planes=decp)
             phd = lo_a + step_a * idxd.astype(jnp.float32)
