@@ -161,7 +161,13 @@ def main():
                                         ).astype(np.float32))
     refr = jax.device_put(np.ascontiguousarray(syms_np.real).astype(np.float32))
     refi = jax.device_put(np.ascontiguousarray(syms_np.imag).astype(np.float32))
-    if "--single" in sys.argv:
+    if "--blind-tracking" in sys.argv:
+        i0 = sys.argv.index("--blind-tracking")
+        block_size = int(sys.argv[i0 + 1])
+        trs = int(sys.argv[i0 + 2])
+        bps_mode = sys.argv[i0 + 3] if len(sys.argv) > i0 + 3 else "single"
+        gate_thr = float(sys.argv[i0 + 4]) if len(sys.argv) > i0 + 4 else 1e-4
+    elif "--single" in sys.argv:
         i0 = sys.argv.index("--single")
         block_size = int(sys.argv[i0 + 1])
         trs = int(sys.argv[i0 + 2])
@@ -208,6 +214,59 @@ def main():
         print("SER gate failed: %.2e > %.0e" % (best, gate_thr),
               file=sys.stderr, flush=True)
         sys.exit(3)
+
+    if "--blind-tracking" in sys.argv:
+        # steady-state blind serving: reuse the frozen taps from the full
+        # run above (device-resident; complex taps never cross the
+        # tunnel), SER-gate the tracking output, and time the tracking
+        # entry — the trainer's serial block steps disappear entirely
+        @jax.jit
+        def chain_taps(P):
+            (outr, outi), w2 = fwd_c.planes_with_taps(P)
+            return outr + 1j * outi, w2
+
+        out_t, w2 = chain_taps(Pst)
+        best_t = float(fetch(jax.block_until_ready(
+            gate(jax.jit(lambda P, w: (lambda o: o[0] + 1j * o[1])(
+                fwd_c.tracking_planes(P, w)))(Pst, w2), refr, refi)),
+            "gate"))
+        print("blind tracking gate SER=%.2e" % best_t, file=sys.stderr,
+              flush=True)
+        if best_t > gate_thr:
+            print("blind tracking SER gate failed", file=sys.stderr,
+                  flush=True)
+            sys.exit(3)
+        REPS_A, REPS_B = 5, 45
+
+        def mk(reps):
+            @jax.jit
+            def timed(P, w, s0):
+                def body(i, carry):
+                    scale = (1 + 1e-6 * carry).astype(jnp.float32)
+                    outr, outi = fwd_c.tracking_planes(P * scale, w)
+                    return (jnp.mean(jnp.abs(outr))
+                            + jnp.mean(jnp.abs(outi))).astype(jnp.float32)
+                return jax.lax.fori_loop(0, reps, body, s0)
+            return timed
+
+        tA_f, tB_f = mk(REPS_A), mk(REPS_B)
+        fetch(tA_f(Pst, w2, jnp.float32(0.)), "warmA")
+        fetch(tB_f(Pst, w2, jnp.float32(0.5)), "warmB")
+
+        def run_t(f, seed):
+            t0 = time.perf_counter()
+            fetch(f(Pst, w2, jnp.float32(seed)), "timed")
+            return time.perf_counter() - t0
+
+        tA = min(run_t(tA_f, 1.0), run_t(tA_f, 2.0))
+        tB = min(run_t(tB_f, 3.0), run_t(tB_f, 4.0))
+        dt = max(tB - tA, 1e-9) / (REPS_B - REPS_A)
+        print("blind tracking per-chain %.2f ms" % (dt * 1e3),
+              file=sys.stderr, flush=True)
+        print(json.dumps({
+            "blind_tracking_msym_s": round(Nsym * 2 / dt / 1e6, 2),
+            "blind_tracking_ser": best_t}))
+        return
 
     # --- timing ---
     # Tunnel semantics (established with tools/probe_timing.py):
@@ -651,6 +710,23 @@ def _supervise():
             sys.stderr.flush()
     except Exception as e:
         sys.stderr.write("pilot bench skipped: %s\n" % e)
+    # steady-state BLIND tracking (warm-start taps, r5): strictly
+    # optional — measured 2603.6 Msym/s SER 4.8e-7 at the decimated16
+    # config
+    try:
+        proc = subprocess.run([sys.executable, __file__, "--blind-tracking",
+                               "256", str(2 ** 14), "decimated16", "1e-5"],
+                              capture_output=True, text=True, timeout=1800)
+        line = ""
+        for l in proc.stdout.strip().splitlines():
+            if l.startswith("{"):
+                line = l
+        if proc.returncode == 0 and line:
+            blind.update(json.loads(line))
+        else:
+            sys.stderr.write(proc.stderr[-1000:] + "\n")
+    except Exception as e:
+        sys.stderr.write("blind tracking bench skipped: %s\n" % e)
     # steady-state tracking number (warm-start serving): strictly optional —
     # a failure or timeout leaves the main numbers untouched
     try:
@@ -672,7 +748,7 @@ def _supervise():
 
 
 if __name__ == "__main__":
-    if "--single" in sys.argv:
+    if "--single" in sys.argv or "--blind-tracking" in sys.argv:
         main()
     elif "--pilot-maketx" in sys.argv:
         i0 = sys.argv.index("--pilot-maketx")

@@ -215,7 +215,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         er, ei = Eeq.real, Eeq.imag
         return (er * c - ei * s) + 1j * (er * s + ei * c)
 
-    def _fwd(P, planes_out):
+    def _fwd(P, planes_out, wxy=None, return_taps=False):
         """One RX step: train stage-1/stage-2 taps, filter, BPS-derotate.
 
         Planes-first implementation shared by ``forward`` (complex in/out)
@@ -226,39 +226,51 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         freshly assembled complex array — pure HBM shuffle). Training runs
         on a TrSyms prefix until converged (complex built lazily on the
         prefix slice), then the taps are frozen and applied to the whole
-        signal.
-        """
+        signal. ``wxy`` skips BOTH trainings and demodulates with the
+        given (nmodes, nmodes, Ntaps) taps — the warm-start (tracking)
+        serving entry, the reference's ``wxinit=`` discipline
+        (qampy/equalisation.py:386-388); ``return_taps`` additionally
+        returns the frozen taps so the caller can feed them back."""
         nmodes = P.shape[0] // 2
+        # complex view: used by the trainers and the XLA-fallback filter/
+        # derotate paths; the all-Pallas paths read P directly and XLA
+        # elides the unused assembly
         E = P[:nmodes] + 1j * P[nmodes:]
-        trs = (P.shape[-1] - Ntaps) // os if TrSyms is None else TrSyms
-        w0 = jnp.asarray(eqops._init_taps(Ntaps, nmodes, nmodes, dtype))
-        from qampy_tpu.ops.equaliser_pallas import train_equaliser_block_pallas
+        if wxy is not None:
+            w2 = jnp.asarray(wxy)
+        else:
+            trs = (P.shape[-1] - Ntaps) // os if TrSyms is None else TrSyms
+            w0 = jnp.asarray(eqops._init_taps(Ntaps, nmodes, nmodes, dtype))
+            from qampy_tpu.ops.equaliser_pallas import \
+                train_equaliser_block_pallas
 
-        def train(E_, trs_, n_, os_, mu_, w_, syms_, method_, **kw):
-            t = (train_equaliser_block_pallas if _stage_pallas(method_)
-                 else eqops.train_equaliser_block)
-            return t(E_, trs_, n_, os_, mu_, w_, syms_, method_, **kw)
+            def train(E_, trs_, n_, os_, mu_, w_, syms_, method_, **kw):
+                t = (train_equaliser_block_pallas if _stage_pallas(method_)
+                     else eqops.train_equaliser_block)
+                return t(E_, trs_, n_, os_, mu_, w_, syms_, method_, **kw)
 
-        _, w1, _ = train(E, trs, 1, os, mu, w0, symbols1,
-                         methods[0], adaptive=True, block_size=block_size)
-        if nmodes == 2:
-            # CMA pol-demux singularity guard (the reference ships
-            # orthogonalizetaps for this, core/equalisation/
-            # equalisation.py:284-309, Liu et al. OFC'09): when the two
-            # stage-1 tap rows converge onto the SAME source polarisation
-            # (rows nearly parallel in tap space), re-initialise row 1
-            # opposite-orthogonal to row 0 and let stage 2 retrain it.
-            # Traced select — no host round trip, negligible cost.
-            f0 = w1[0].reshape(-1)
-            f1 = w1[1].reshape(-1)
-            inner = jnp.abs(jnp.vdot(f0, f1))
-            n01 = jnp.sqrt(jnp.sum(jnp.abs(f0) ** 2)
-                           * jnp.sum(jnp.abs(f1) ** 2))
-            orth = jnp.conj(w1[0][::-1, ::-1])[None]
-            w1 = jnp.where(inner > 0.9 * n01,
-                           jnp.concatenate([w1[:1], orth]), w1)
-        _, w2, _ = train(E, trs, 1, os, mu, w1, symbols2,
-                         methods[1], adaptive=True, block_size=block_size)
+            _, w1, _ = train(E, trs, 1, os, mu, w0, symbols1,
+                             methods[0], adaptive=True,
+                             block_size=block_size)
+            if nmodes == 2:
+                # CMA pol-demux singularity guard (the reference ships
+                # orthogonalizetaps for this, core/equalisation/
+                # equalisation.py:284-309, Liu et al. OFC'09): when the two
+                # stage-1 tap rows converge onto the SAME source
+                # polarisation (rows nearly parallel in tap space),
+                # re-initialise row 1 opposite-orthogonal to row 0 and let
+                # stage 2 retrain it. Traced select — no host round trip.
+                f0 = w1[0].reshape(-1)
+                f1 = w1[1].reshape(-1)
+                inner = jnp.abs(jnp.vdot(f0, f1))
+                n01 = jnp.sqrt(jnp.sum(jnp.abs(f0) ** 2)
+                               * jnp.sum(jnp.abs(f1) ** 2))
+                orth = jnp.conj(w1[0][::-1, ::-1])[None]
+                w1 = jnp.where(inner > 0.9 * n01,
+                               jnp.concatenate([w1[:1], orth]), w1)
+            _, w2, _ = train(E, trs, 1, os, mu, w1, symbols2,
+                             methods[1], adaptive=True,
+                             block_size=block_size)
         # single-pass bf16 contraction for the filter on TPU (the ~0.4%
         # quantisation rides far below operating channel noise; the bench
         # SER gate verifies the end-to-end outcome stays exact)
@@ -295,15 +307,18 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
         else:
             Eeq, decp, dec = eqops.apply_filter_to_signal(E, os, w2), None, None
 
+        def _with_taps(res):
+            return (res, w2) if return_taps else res
+
         def _derot_out(ph):
             """Final unwrap+derotate honouring the planes threading."""
             if eqp is not None and fuse_derot:
                 from qampy_tpu.ops.phase_pallas import unwrap_derotate_pallas
-                return unwrap_derotate_pallas(None, ph, planes=eqp,
-                                              planes_out=planes_out)
+                return _with_taps(unwrap_derotate_pallas(
+                    None, ph, planes=eqp, planes_out=planes_out))
             out = _derotate(Eeq if eqp is None
                             else (eqp[0] + 1j * eqp[1]).astype(E.dtype), ph)
-            return (out.real, out.imag) if planes_out else out
+            return _with_taps((out.real, out.imag) if planes_out else out)
 
         if ((pallas or pallas_gen) and dec is not None
                 and bps_mode.startswith("decimated")):
@@ -352,7 +367,8 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             outr, outi = interp_rotate_planes_pallas(
                 er_p, ei_p, phu, b_blk, dx=dec, sign=1, T=bps_tile)
             outr, outi = outr[:, :Lout], outi[:, :Lout]
-            return (outr, outi) if planes_out else outr + 1j * outi
+            return _with_taps((outr, outi) if planes_out
+                              else outr + 1j * outi)
         if pallas and dec is not None:
             # decimated-coarse two-stage BPS: the carrier phase is grossly
             # oversampled at the symbol rate, so the coarse grid search runs
@@ -408,7 +424,7 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             div = 2 if bps_mode.endswith("32") else 4
             out, ph = phops.bps_twostage(Eeq, max(bps_angles // div, 16),
                                          const, bps_N, B=8, N1=60)
-            return (out.real, out.imag) if planes_out else out
+            return _with_taps((out.real, out.imag) if planes_out else out)
         if pallas or pallas_gen:
             from qampy_tpu.ops.phase_pallas import bps_idx_pallas
             # bf16 window accumulation: ~25% faster BPS; the nearest-level
@@ -457,7 +473,39 @@ def make_rx_chain(M=64, Ntaps=17, os=2, methods=("mcma", "mddma"), mu=1.9e-3,
             "even row count, got shape %r" % (P.shape,)
         return _fwd(P, True)
 
+    def forward_with_taps(E):
+        """``forward`` that also returns the frozen (nmodes, nmodes,
+        Ntaps) taps — feed them to the tracking entries below (keep them
+        on device; complex taps must not cross the axon tunnel)."""
+        return _fwd(jnp.concatenate([E.real, E.imag], axis=0), False,
+                    return_taps=True)
+
+    def forward_tracking(E, wxy):
+        """Warm-start (tracking) serving entry: demodulate with taps from
+        a previous dispatch, skipping BOTH blind trainings — the
+        reference's ``wxinit=`` warm-start discipline
+        (qampy/equalisation.py:386-388) as a zero-training-prefix blind
+        serving mode (steady-state channel tracking happens through the
+        periodic full dispatches that refresh the taps)."""
+        return _fwd(jnp.concatenate([E.real, E.imag], axis=0), False,
+                    wxy=wxy)
+
+    def forward_planes_with_taps(P, Pi=None):
+        if Pi is not None:
+            P = jnp.concatenate([jnp.asarray(P), jnp.asarray(Pi)], axis=0)
+        return _fwd(jnp.asarray(P), True, return_taps=True)
+
+    def forward_tracking_planes(P, wxy, Pi=None):
+        """Planes-native twin of ``forward_tracking``."""
+        if Pi is not None:
+            P = jnp.concatenate([jnp.asarray(P), jnp.asarray(Pi)], axis=0)
+        return _fwd(jnp.asarray(P), True, wxy=wxy)
+
     forward.planes = forward_planes
+    forward.with_taps = forward_with_taps
+    forward.tracking = forward_tracking
+    forward.planes_with_taps = forward_planes_with_taps
+    forward.tracking_planes = forward_tracking_planes
     # introspection: which kernel path the built chain actually takes
     forward.backend_info = {"pallas": bool(pallas),
                             "pallas_gen": bool(pallas_gen),

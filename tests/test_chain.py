@@ -70,6 +70,21 @@ class TestRxChain:
             out = fwd(np.asarray(s2).astype(np.complex64))
         assert _ser(out, 16) < 0.08
 
+    def test_blind_tracking_entry(self):
+        """forward.with_taps / forward.tracking: warm-start blind serving
+        (the reference's wxinit= discipline) must reproduce the full
+        chain bit-exactly given the same taps."""
+        sig, s2 = _tx(64, 2 ** 14, seed=5, snr=32, lw=20e3)
+        fwd = make_rx_chain(M=64, Ntaps=17, os=2, bps_angles=64, bps_N=10,
+                            block_size=128, TrSyms=2 ** 13,
+                            bps_mode="decimated", pallas=True,
+                            bps_tile=2048)
+        E = np.asarray(s2).astype(np.complex64)
+        out, w2 = jax.jit(fwd.with_taps)(E)
+        trk = jax.jit(fwd.tracking)(E, w2)
+        assert bool(jax.numpy.all(trk == out))
+        assert _ser(np.asarray(trk), 64) < 0.08
+
     def test_matches_granular_api(self):
         # the fused chain and the step-by-step public API converge to the
         # same constellation (not bit-identical: block vs chosen backends)

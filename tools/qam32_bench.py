@@ -166,5 +166,7 @@ def main(M=32, methods=("mcma", "sbd"), trs=2 ** 14, block_size=256,
 
 
 if __name__ == "__main__":
-    M = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    main(M=M)
+    args = sys.argv[1:]
+    M = int(args[0]) if args and args[0].isdigit() else 32
+    mode = "decimated" if "decimated" in args else "single"
+    main(M=M, bps_mode=mode)
