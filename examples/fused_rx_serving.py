@@ -7,8 +7,9 @@ blind phase search, derotation) into ONE jittable program, and
 ``ops.pilot_chain.make_pilot_rx_chain`` does the same for the complete
 pilot receiver (frame sync, two-stage pilot equalisation, per-frame
 filtering + pilot CPE). These are the programs behind bench.py's
-966-973 Msym/s blind / 1332-1370 Msym/s pilot / up-to-1577 tracking figures on
-one TPU v5e chip (docs/PERFORMANCE.md). Both chains also expose
+1987-2451 Msym/s blind (decimated carrier recovery, r5; 2604 via the
+warm-start tracking entry) / 1302-1370 Msym/s pilot / up-to-1577
+pilot-tracking figures on one TPU v5e chip (docs/PERFORMANCE.md). Both chains also expose
 PLANES-native serving entries (``forward.planes`` /
 ``.tracking_planes``: float32 real/imag planes in and out, no complex
 materialisation passes) — the form the transport ships anyway on hosts
