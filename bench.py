@@ -397,7 +397,8 @@ def pilot_maketx(path, nframes=42, M=64, shape="qam", snr=35):
     print("pilot tx ready: %s" % (E.shape,), file=sys.stderr, flush=True)
 
 
-def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms"):
+def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms",
+               frames_unroll=4):
     """Time the fused pilot RX chain on the real chip, BER-gated.
 
     One dispatch = frame sync + two-stage pilot equalisation + per-frame
@@ -428,7 +429,8 @@ def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms"):
                               sync_Ntaps=17, sync_mu=5e-3, sync_Niter=10,
                               Ntaps=45, mu=(1e-3, 1e-3), Niter=30,
                               cpe_avg=3, frames=frames, block_size=256,
-                              return_phase=False, frames_unroll=4,
+                              return_phase=False,
+                              frames_unroll=int(frames_unroll),
                               eq_trainer=eq_trainer)
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
@@ -762,8 +764,11 @@ if __name__ == "__main__":
         i0 = sys.argv.index("--pilot-single")
         tr = (sys.argv[i0 + 4] if len(sys.argv) > i0 + 4
               and not sys.argv[i0 + 4].startswith("-") else "lms")
+        ur = (int(sys.argv[i0 + 5]) if len(sys.argv) > i0 + 5
+              and sys.argv[i0 + 5].isdigit() else 4)
         pilot_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),
-                   float(sys.argv[i0 + 3]), eq_trainer=tr)
+                   float(sys.argv[i0 + 3]), eq_trainer=tr,
+                   frames_unroll=ur)
     elif "--pilot-tracking" in sys.argv:
         i0 = sys.argv.index("--pilot-tracking")
         pilot_tracking_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),
