@@ -406,6 +406,15 @@ def make_sharded_pilot_rx(mesh, pilot_seq, ph_pilots, frame_len,
 
     ndev = mesh.devices.size
     k = int(frames_per_device)
+    if shard_prefix:
+        # the distributed cold-start defaults to the closed-form LS
+        # pilot trainer: the per-mode LMS training is sequential-step
+        # latency-bound (sharding it barely helps — measured 1.08 vs
+        # 0.85 ms, tools/prefixprof.py) while LS is 0.149 ms/mode AND
+        # better quality; measured cold-start efficiency e(8, 10) ~ 0.97
+        # vs ~0.55 with LMS (docs/PERFORMANCE.md r5). Pass
+        # eq_trainer="lms" explicitly to keep the iterative trainer.
+        chain_kwargs.setdefault("eq_trainer", "ls")
     # the per-device chain demodulates frames [0, k) of a capture whose
     # origin is offset by axis_index*k frames
     fwd = make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len,

@@ -236,7 +236,10 @@ class TestFusedPilotChain:
             s2, snr=30, dgd=20e-12, theta=np.pi / 4.3, lwdth=20e3,
             roll_frame_sync=True, key=jr.PRNGKey(11))
         mesh = make_mesh(8)
-        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3)
+        # eq_trainer pinned to lms on BOTH sides: shard_prefix=True
+        # otherwise defaults to the LS trainer (different taps)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3,
+                  eq_trainer="lms")
         rep = sharded.make_sharded_pilot_rx(
             mesh, np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
             sig.frame_len, sig.pilot_ins_rat, frames_per_device=1, **kw)
