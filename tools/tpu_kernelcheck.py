@@ -311,6 +311,13 @@ def run_rotate(rng):
     d = fetch(g(er, ei, jax.device_put(a), jax.device_put(b)))
     record("interp_rotate_planes_dx8", d < 1e-5, max_abs_diff=d)
 
+    # LARGE coefficients (unwrapped-phase scale, the decimated blind
+    # path's regime): locks the Precision.HIGHEST lane expansion — the
+    # default Mosaic bf16 dot produced 0.024-0.2-scale errors here
+    a_big = (rng.standard_normal((2, Lb // dx)) * 10).astype(np.float32)
+    d = fetch(g(er, ei, jax.device_put(a_big), jax.device_put(b)))
+    record("interp_rotate_planes_bigphase", d < 2e-5, max_abs_diff=d)
+
 
 GROUPS = {"bps": run_bps, "twostage": run_twostage, "trainers": run_trainers,
           "filter": run_filter, "derotate": run_derotate,
