@@ -398,7 +398,7 @@ def pilot_maketx(path, nframes=42, M=64, shape="qam", snr=35):
 
 
 def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms",
-               frames_unroll=4):
+               frames_unroll=4, frames_pack=1):
     """Time the fused pilot RX chain on the real chip, BER-gated.
 
     One dispatch = frame sync + two-stage pilot equalisation + per-frame
@@ -431,6 +431,7 @@ def pilot_main(path, nframes_proc, gate_ber, eq_trainer="lms",
                               cpe_avg=3, frames=frames, block_size=256,
                               return_phase=False,
                               frames_unroll=int(frames_unroll),
+                              frames_pack=int(frames_pack),
                               eq_trainer=eq_trainer)
     idx_tx = np.tile(d["idx_tx"], (1, len(frames)))
     bits_h = d["bits_tbl"].astype(np.float32)
@@ -766,9 +767,11 @@ if __name__ == "__main__":
               and not sys.argv[i0 + 4].startswith("-") else "lms")
         ur = (int(sys.argv[i0 + 5]) if len(sys.argv) > i0 + 5
               and sys.argv[i0 + 5].isdigit() else 4)
+        pk = (int(sys.argv[i0 + 6]) if len(sys.argv) > i0 + 6
+              and sys.argv[i0 + 6].isdigit() else 1)
         pilot_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),
                    float(sys.argv[i0 + 3]), eq_trainer=tr,
-                   frames_unroll=ur)
+                   frames_unroll=ur, frames_pack=pk)
     elif "--pilot-tracking" in sys.argv:
         i0 = sys.argv.index("--pilot-tracking")
         pilot_tracking_main(sys.argv[i0 + 1], int(sys.argv[i0 + 2]),

@@ -58,7 +58,7 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                         cpe_avg=3, cpe_pilot_rat=1, frames=(0,),
                         block_size=128, pallas=None, frames_mode="scan",
                         frames_unroll=1, return_phase=True,
-                        eq_trainer="lms", _stage=None):
+                        eq_trainer="lms", frames_pack=1, _stage=None):
     """Build a jittable ``forward(E) -> (data, info)`` pilot receiver.
 
     Parameters mirror the granular chain: ``pilot_seq`` (nmodes,
@@ -679,20 +679,29 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             n_head = cpe_x0 // cpe_dx
             n_tail = (frame_len - cpe_x0) // cpe_dx - (len(idx_avg) - 1)
 
+        # frames_pack > 1 packs that many frames into each kernel launch
+        # (more virtual filter rows, row-parallel cpe_coeffs/interp-rotate)
+        # — the launch-bound body pays 3 Pallas launches per PACK instead
+        # of per frame. Requires the fully fused serving config.
+        pack = int(frames_pack)
+        packed = (fast and pack > 1 and kernel_interp
+                  and frames_mode == "scan" and len(frames) % pack == 0)
+        rows = (pack if packed else 1) * nmodes
         if fast:
-            # ONE filter kernel per frame for ALL output modes: output
-            # mode i needs the input at its own shift eqsh[i], so the
-            # per-shift slices stack as nmodes*nmodes VIRTUAL input modes
-            # and the taps become block-diagonal — the kernel launch count
-            # per frame drops from nmodes to 1 (launches, not bytes,
-            # dominate the scan body). The extra zero-block MACs are free
-            # MXU headroom.
+            # ONE filter kernel per frame-pack for ALL output modes:
+            # output mode i needs the input at its own shift eqsh[i], so
+            # the per-(frame, shift) slices stack as pack*nmodes*nmodes
+            # VIRTUAL input modes and the taps become block-diagonal —
+            # the kernel launch count per frame drops from nmodes to
+            # 1/pack (launches, not bytes, dominate the scan body). The
+            # extra zero-block MACs are free MXU headroom.
             wv = jnp.stack([
                 jnp.concatenate(
-                    [jnp.zeros((i * nmodes, Ntaps), taps.dtype), taps[i],
-                     jnp.zeros(((nmodes - 1 - i) * nmodes, Ntaps),
+                    [jnp.zeros((fi * nmodes, Ntaps), taps.dtype),
+                     taps[fi % nmodes],
+                     jnp.zeros(((rows - 1 - fi) * nmodes, Ntaps),
                                taps.dtype)], axis=0)
-                for i in range(nmodes)])      # (nmodes, nmodes^2, Ntaps)
+                for fi in range(rows)])       # (rows, rows*nmodes, Ntaps)
 
         def do_frame_planes(_, base):
             """Planes-pipeline frame body (fast path)."""
@@ -747,6 +756,45 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
             di = outi[:, seq_len:].reshape(nmodes, nblk_cpe, pilot_ins_rat
                                            )[:, :, 1:].reshape(nmodes, -1)
             return None, ((dr, di), trace if return_phase else None)
+
+        def do_frames_packed(_, bgrp):
+            """Packed frame body: ``pack`` frames per kernel launch.
+
+            The (frame, output-mode) slices stack as pack*nmodes^2
+            virtual filter inputs (block-diagonal taps ``wv``), the
+            pilot-phase kernel and the interp-rotate run row-parallel
+            over pack*nmodes rows — 3 Pallas launches + the small XLA
+            ops amortise over ``pack`` frames (the body is
+            launch-bound, docs/PERFORMANCE.md pilot roofline)."""
+            sl_r = [lax.dynamic_slice(Rr, (0, eqsh[i] + bgrp[f]),
+                                      (nmodes, fr_len))
+                    for f in range(pack) for i in range(nmodes)]
+            sl_i = [lax.dynamic_slice(Ri, (0, eqsh[i] + bgrp[f]),
+                                      (nmodes, fr_len))
+                    for f in range(pack) for i in range(nmodes)]
+            planes_v = jnp.concatenate(sl_r + sl_i, axis=0)
+            out = apply_filter_pallas_planes(planes_v, os, wv)
+            symr, symi = out[:rows], out[rows:]       # (rows, F)
+            tr = symr[:, seq_len:].reshape(rows, nblk_cpe, pilot_ins_rat)
+            ti = symi[:, seq_len:].reshape(rows, nblk_cpe, pilot_ins_rat)
+            zr, zi = tr[:, :, 0], ti[:, :, 0]
+            pr, pi_ = (jnp.tile(pil_c.real, (pack, 1)),
+                       jnp.tile(pil_c.imag, (pack, 1)))
+            raw_ph = jnp.arctan2(pr * zi - pi_ * zr,
+                                 pr * zr + pi_ * zi)
+            a_blk, b_blk = cpe_coeffs_pallas(
+                None, None, None, None, n_head,
+                nblk_cpe - (cpe_avg - 1), cpe_dx, cpe_avg,
+                frame_len // cpe_dx, res_ph=raw_ph)
+            outr, outi = interp_rotate_planes_pallas(
+                symr, symi, a_blk, b_blk, dx=cpe_dx, sign=-1, T=rotT)
+            dr = outr[:, seq_len:].reshape(rows, nblk_cpe, pilot_ins_rat
+                                           )[:, :, 1:].reshape(
+                pack, nmodes, -1)
+            di = outi[:, seq_len:].reshape(rows, nblk_cpe, pilot_ins_rat
+                                           )[:, :, 1:].reshape(
+                pack, nmodes, -1)
+            return None, ((dr, di), None)
 
         def do_frame(_, base):
             """Demodulate one frame at capture offset ``base`` (traced)."""
@@ -869,6 +917,22 @@ def make_pilot_rx_chain(pilot_seq, ph_pilots, frame_len, pilot_ins_rat,
                     "taps": taps, "mode_order": mode_order}
             if return_phase:
                 info["phase"] = trace.reshape(nmodes, -1)
+            return data, info
+        if packed:
+            bases_g = bases.reshape(-1, pack)
+            _, (data_f, _tr) = lax.scan(do_frames_packed, None, bases_g,
+                                        unroll=frames_unroll)
+            dr_f, di_f = data_f               # (nsteps, pack, nmodes, nd)
+            dr2 = jnp.moveaxis(
+                dr_f.reshape(len(frames), nmodes, -1), 0, 1
+                ).reshape(nmodes, -1)
+            di2 = jnp.moveaxis(
+                di_f.reshape(len(frames), nmodes, -1), 0, 1
+                ).reshape(nmodes, -1)
+            data = (dr2, di2) if _planes_out else dr2 + 1j * di2
+            info = {"shift": shift, "sync_corr": sync_corr,
+                    "foe": foe_coarse + foe_pil, "foe_pil": foe_pil,
+                    "taps": taps, "mode_order": mode_order}
             return data, info
         body = do_frame_planes if fast else do_frame
         if len(frames) > 2:

@@ -154,6 +154,26 @@ class TestFusedPilotChain:
         ser = np.asarray(out.cal_ser(synced=True))
         assert np.all(ser < 1e-3), ser
 
+    def test_frames_pack_matches(self):
+        """frames_pack=2 (two frames per kernel launch) must match the
+        per-frame scan (bit-exact at pack=2; measured dead end for
+        throughput — docs/PERFORMANCE.md — but kept selectable)."""
+        sig = qt.SignalWithPilots(64, FRAME, SEQ, INS, nframes=8, nmodes=2,
+                                  fb=24e9, seed=3)
+        s2 = sig.resample(2 * sig.fb, beta=0.1, renormalise=True)
+        s2 = qt.impairments.simulate_transmission(
+            s2, snr=30, dgd=20e-12, theta=np.pi / 4.7, lwdth=20e3,
+            roll_frame_sync=True, key=jr.PRNGKey(5))
+        E = jnp.asarray(s2.samples)
+        kw = dict(os=2, M=64, nmodes=2, Ntaps=17, Niter=30, cpe_avg=3,
+                  frames=(0, 1, 2, 3), pallas=True, return_phase=False)
+        args = (np.asarray(sig.pilot_seq), np.asarray(sig.ph_pilots),
+                sig.frame_len, sig.pilot_ins_rat)
+        d0, _ = jax.jit(make_pilot_rx_chain(*args, **kw))(E)
+        d2, _ = jax.jit(make_pilot_rx_chain(*args, frames_pack=2, **kw))(E)
+        np.testing.assert_allclose(np.abs(np.asarray(d2 - d0)), 0,
+                                   atol=1e-5)
+
     def test_ls_trainer_recovers(self):
         """eq_trainer='ls' (closed-form data-aided equalisation: one Gram
         matmul + real-block solve instead of Niter*TrS/S LMS block steps)
